@@ -1,0 +1,562 @@
+"""SceneBuilder: host-side construction of SceneSpec + initial SimState.
+
+Scenes declare bodies (cloths, cube/ball elastics, tactile pads), frozen
+DOFs, contact pairs, and the effector; the builder assembles the global
+vertex soup, element soups, and the fixed-capacity contact query table.
+
+Reference correspondences:
+  * BaseScene.__init__/init_objects/init_property (BaseScene.py:31-383)
+  * per-scene init_scene_parameters / init overrides (task_scene/Scene_*.py)
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, List, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.quaternion import quat_to_rotmat
+from . import topology
+from .spec import (
+    ClothSoup,
+    ContactSpec,
+    GripperSpec,
+    GripperState,
+    Params,
+    SceneSpec,
+    SimState,
+    TetSoup,
+)
+
+
+@dataclasses.dataclass
+class _Body:
+    kind: str  # 'cloth' | 'neo' | 'tact'
+    n_verts: int
+    n_faces: int
+    v_offset: int = 0
+    f_offset: int = 0
+    # cloth
+    cloth_mesh: Optional[topology.ClothMesh] = None
+    dx: float = 0.0
+    rho: float = 0.0
+    k_angle: float = 3.14
+    # elastic
+    tet_mesh: Optional[topology.TetMesh] = None
+    density: float = 2000.0
+    E: float = 0.0
+    nu: float = 0.0
+    group: int = 0
+    # common
+    init_pos: Optional[np.ndarray] = None
+    surfaces: Optional[np.ndarray] = None
+    gravity_on: bool = True
+
+
+class SceneBuilder:
+    def __init__(
+        self,
+        dt=5e-3,
+        k_contact=10000.0,
+        eps_contact=4e-4,
+        eps_v=1e-2,
+        damping=1.0,
+        max_newton_iter=50,
+        newton_tol=1e-7,
+        gravity=(0.0, 0.0, -9.8),
+        dtype=jnp.float64,
+        solver="dense",
+        plastic=False,
+        grid_h=3e-3,
+        contact_top_k=32,
+    ):
+        self.cfg = dict(
+            dt=dt,
+            k_contact=k_contact,
+            eps_contact=eps_contact,
+            eps_v=eps_v,
+            damping=damping,
+            max_newton_iter=max_newton_iter,
+            newton_tol=newton_tol,
+            grid_h=grid_h,
+            solver=solver,
+            plastic=plastic,
+            dtype=dtype,
+        )
+        self.gravity = np.asarray(gravity, np.float64)
+        self.contact_top_k = contact_top_k
+        self.bodies: List[_Body] = []
+        self.pairs: List[Tuple[int, int, int]] = []  # (src_body, tgt_body, mu_slot)
+        self.mu_init: List[float] = []
+        self.frozen_fns: List[Callable] = []
+        self.gripper_cfg = None
+        self.cloth_params: List[Tuple[float, float, float]] = []  # kl, ka, kb
+
+    # ---------------------------------------------------------------- bodies
+
+    def add_cloth(
+        self,
+        N: int,
+        M: int,
+        size: float,
+        rho: float = 40.0,
+        init_pos: np.ndarray = None,
+        kl=1000.0,
+        ka=1000.0,
+        kb=100.0,
+        k_angle=3.14,
+        gravity_on=True,
+    ) -> int:
+        mesh = topology.build_cloth_mesh(N, M)
+        dx = size / N
+        b = _Body(
+            kind="cloth",
+            n_verts=mesh.NV,
+            n_faces=mesh.NF,
+            cloth_mesh=mesh,
+            dx=dx,
+            rho=rho,
+            k_angle=k_angle,
+            init_pos=init_pos,
+            surfaces=mesh.f2v,
+            gravity_on=gravity_on,
+        )
+        self.bodies.append(b)
+        self.cloth_params.append((kl, ka, kb))
+        return len(self.bodies) - 1
+
+    def add_cube_elastic(
+        self, nx, ny, nz, length, offset, density=2000.0, E=5e5, nu=0.0,
+        arch=0.0, gravity_on=True,
+    ) -> int:
+        mesh = topology.build_cube_tet_mesh(nx, ny, nz, length)
+        pos = mesh.rest_pos.copy()
+        if arch != 0.0:
+            ix = np.arange(nx)
+            z_arch = arch * np.sin(ix / (nx - 1) * 3.1415926)
+            pos[:, 2] += np.repeat(z_arch, ny * nz)
+        pos = pos + np.asarray(offset)
+        return self._add_elastic(mesh, pos, density, E, nu, "neo", mesh.surfaces,
+                                 gravity_on)
+
+    def add_ball_elastic(self, offset, density=2000.0, E=5e5, nu=0.0,
+                         gravity_on=True) -> int:
+        mesh = topology.load_ball_mesh()
+        pos = mesh.rest_pos + np.asarray(offset)
+        surfaces = topology.orient_surface_outward(
+            mesh.surfaces, pos, np.asarray(offset, np.float64)
+        )
+        return self._add_elastic(mesh, pos, density, E, nu, "neo", surfaces,
+                                 gravity_on)
+
+    def add_tactile(
+        self, offset, flip: bool, ratio: float, density=2000.0, E=3e5, nu=0.2,
+        gravity_on=False,
+    ) -> int:
+        mesh = topology.load_tactile_mesh()
+        pos = ratio * mesh.rest_pos
+        if flip:
+            pos = -pos
+        pos = pos + np.asarray(offset)
+        # inner-circle faces keep inward orientation (reference
+        # model_elastic_tactile.init_surface_indices:266-291)
+        inner_pt = np.asarray(offset, np.float64) + np.array(
+            [0.0, 0.0, -0.002 * ratio if flip else 0.002 * ratio]
+        )
+        inner_faces = np.all(mesh.is_inner[mesh.surfaces], axis=1)
+        surfaces = topology.orient_surface_outward(
+            mesh.surfaces, pos, inner_pt, invert_mask=inner_faces
+        )
+        idx = self._add_elastic(mesh, pos, density, E, nu, "tact", surfaces,
+                                gravity_on)
+        self.bodies[idx].dx = ratio  # stash ratio for gripper rest coords
+        return idx
+
+    def _add_elastic(self, mesh, pos, density, E, nu, kind, surfaces, gravity_on):
+        groups = [b.group for b in self.bodies if b.kind == kind]
+        group = (max(groups) + 1) if groups else 0
+        # share the parameter group when E/nu match an existing body
+        for b in self.bodies:
+            if b.kind == kind and b.E == E and b.nu == nu:
+                group = b.group
+                break
+        b = _Body(
+            kind=kind,
+            n_verts=mesh.n_verts,
+            n_faces=mesh.n_surfaces,
+            tet_mesh=mesh,
+            density=density,
+            E=E,
+            nu=nu,
+            group=group,
+            init_pos=np.asarray(pos, np.float64),
+            surfaces=surfaces,
+            gravity_on=gravity_on,
+        )
+        self.bodies.append(b)
+        return len(self.bodies) - 1
+
+    # ------------------------------------------------------------- relations
+
+    def add_contact_pair(self, src_body: int, tgt_body: int, mu_slot: int):
+        """Project tgt_body's vertices onto src_body's faces with friction
+        params.mu_pairs[mu_slot]."""
+        self.pairs.append((src_body, tgt_body, mu_slot))
+
+    def new_mu_slot(self, mu: float) -> int:
+        self.mu_init.append(mu)
+        return len(self.mu_init) - 1
+
+    def freeze(self, fn: Callable):
+        """fn(builder, frozen (NV,3) bool) -> None, mutates frozen."""
+        self.frozen_fns.append(fn)
+
+    def set_gripper(self, mode: str, pad_bodies: List[int], pad_part: List[int],
+                    pad_sign: List[int], part_pos: np.ndarray):
+        """pad_bodies: builder indices of the tactile pads, in pad order."""
+        self.gripper_cfg = dict(
+            mode=mode, pad_bodies=pad_bodies, pad_part=pad_part,
+            pad_sign=pad_sign, part_pos=np.asarray(part_pos, np.float64),
+        )
+
+    # ----------------------------------------------------------------- build
+
+    def _layout(self):
+        v, f = 0, 0
+        for b in self.bodies:
+            b.v_offset, b.f_offset = v, f
+            v += b.n_verts
+            f += b.n_faces
+        return v, f
+
+    def build(self) -> tuple[SceneSpec, SimState, Params]:
+        NV, NF = self._layout()
+        d = self.cfg["dtype"]
+        fd = np.float64
+
+        pos0 = np.zeros((NV, 3), fd)
+        mass = np.zeros((NV,), fd)
+        gravity = np.zeros((NV, 3), fd)
+        faces = np.zeros((NF, 3), np.int32)
+        for b in self.bodies:
+            pos0[b.v_offset : b.v_offset + b.n_verts] = b.init_pos
+            faces[b.f_offset : b.f_offset + b.n_faces] = b.surfaces + b.v_offset
+            if b.gravity_on:
+                gravity[b.v_offset : b.v_offset + b.n_verts] = self.gravity
+            if b.kind == "cloth":
+                mass[b.v_offset : b.v_offset + b.n_verts] = b.rho * b.dx**2
+
+        cloth = self._build_cloth_soup(pos0)
+        neo = self._build_tet_soup("neo", pos0, mass)
+        tact = self._build_tet_soup("tact", pos0, mass)
+        contact = self._build_contact()
+        gripper, gstate = self._build_gripper(pos0)
+
+        frozen = np.zeros((NV, 3), bool)
+        for fn in self.frozen_fns:
+            fn(self, frozen)
+
+        spec = SceneSpec(
+            mass=jnp.asarray(mass, d),
+            gravity=jnp.asarray(gravity, d),
+            ext_force=jnp.zeros((NV, 3), d),
+            frozen=jnp.asarray(frozen),
+            faces=jnp.asarray(faces),
+            cloth=cloth,
+            neo=neo,
+            tact=tact,
+            contact=contact,
+            gripper=gripper,
+            NV=NV,
+            n_bodies=len(self.bodies),
+            body_v_start=tuple(b.v_offset for b in self.bodies),
+            body_v_end=tuple(b.v_offset + b.n_verts for b in self.bodies),
+            body_f_start=tuple(b.f_offset for b in self.bodies),
+            body_f_end=tuple(b.f_offset + b.n_faces for b in self.bodies),
+            dt=self.cfg["dt"],
+            damping=self.cfg["damping"],
+            k_contact=self.cfg["k_contact"],
+            eps_contact=self.cfg["eps_contact"],
+            eps_v=self.cfg["eps_v"],
+            max_newton_iter=self.cfg["max_newton_iter"],
+            newton_tol=self.cfg["newton_tol"],
+            plastic=self.cfg["plastic"],
+            grid_h=self.cfg["grid_h"],
+            solver=self.cfg["solver"],
+            dtype=d,
+        )
+
+        NH = cloth.hinge_verts.shape[0]
+        C = contact.capacity
+        state = SimState(
+            pos=jnp.asarray(pos0, d),
+            vel=jnp.zeros((NV, 3), d),
+            ref_angle=jnp.zeros((NH,), d),
+            proj_flag=jnp.zeros((C,), jnp.int32),
+            proj_dir=jnp.zeros((C,), jnp.int32),
+            gripper=gstate,
+        )
+
+        n_neo = int(neo.group.max()) + 1 if neo.tets.shape[0] else 1
+        n_tact = int(tact.group.max()) + 1 if tact.tets.shape[0] else 1
+        neo_mu = np.zeros(n_neo)
+        neo_lam = np.zeros(n_neo)
+        tact_mu = np.zeros(n_tact)
+        tact_lam = np.zeros(n_tact)
+        for b in self.bodies:
+            if b.kind == "neo":
+                neo_mu[b.group] = b.E / (2 * (1 + b.nu))
+                neo_lam[b.group] = b.E * b.nu / ((1 + b.nu) * (1 - 2 * b.nu))
+            elif b.kind == "tact":
+                tact_mu[b.group] = b.E / (2 * (1 + b.nu))
+                tact_lam[b.group] = b.E * b.nu / ((1 + b.nu) * (1 - 2 * b.nu))
+        cp = np.array(self.cloth_params or [(1000.0, 1000.0, 100.0)])
+        params = Params(
+            kl=jnp.asarray(cp[:, 0], d),
+            ka=jnp.asarray(cp[:, 1], d),
+            kb=jnp.asarray(cp[:, 2], d),
+            neo_mu=jnp.asarray(neo_mu, d),
+            neo_lam=jnp.asarray(neo_lam, d),
+            tact_mu=jnp.asarray(tact_mu, d),
+            tact_lam=jnp.asarray(tact_lam, d),
+            mu_pairs=jnp.asarray(np.array(self.mu_init or [0.0]), d),
+        )
+        return spec, state, params
+
+    # ------------------------------------------------------------- internals
+
+    def _build_cloth_soup(self, pos0) -> ClothSoup:
+        d = self.cfg["dtype"]
+        cloths = [b for b in self.bodies if b.kind == "cloth"]
+        if not cloths:
+            z = np.zeros
+            return ClothSoup(
+                f2v=jnp.zeros((0, 3), jnp.int32),
+                cloth_id=jnp.zeros((0,), jnp.int32),
+                l0=jnp.zeros((0, 3), d),
+                rest_area=jnp.zeros((0,), d),
+                hinge_verts=jnp.zeros((0, 4), jnp.int32),
+                hinge_stencil=jnp.zeros((0, 4), jnp.int32),
+                hinge_mask=jnp.zeros((0,), bool),
+                hinge_coef=jnp.zeros((0,), d),
+                hinge_cloth=jnp.zeros((0,), jnp.int32),
+                counter_face=jnp.zeros((0, 3), jnp.int32),
+                counter_point=jnp.zeros((0, 3), jnp.int32),
+            )
+        f2v, cid, l0, area = [], [], [], []
+        hv, hstencil, hmask, hcoef, hcloth = [], [], [], [], []
+        cf_all, cp_all = [], []
+        face_off = 0
+        for ci, b in enumerate(cloths):
+            m = b.cloth_mesh
+            f2v.append(m.f2v + b.v_offset)
+            cid.append(np.full(m.NF, ci, np.int32))
+            l0.append(
+                np.tile(
+                    np.array([b.dx, b.dx, b.dx * np.sqrt(2.0)]), (m.NF, 1)
+                )
+            )
+            area.append(np.full(m.NF, b.dx**2 * 0.5))
+            cf_all.append(np.where(m.counter_face >= 0, m.counter_face + face_off,
+                                   m.counter_face))
+            cp_all.append(m.counter_point)
+            sv, st, sm = _build_hinges(m, b.init_pos)
+            hv.append(sv + b.v_offset)
+            hstencil.append(st)
+            hmask.append(sm)
+            hcoef.append(np.full(m.NF * 3, b.dx**2 / 3.0))
+            hcloth.append(np.full(m.NF * 3, ci, np.int32))
+            face_off += m.NF
+        return ClothSoup(
+            f2v=jnp.asarray(np.concatenate(f2v)),
+            cloth_id=jnp.asarray(np.concatenate(cid)),
+            l0=jnp.asarray(np.concatenate(l0), d),
+            rest_area=jnp.asarray(np.concatenate(area), d),
+            hinge_verts=jnp.asarray(np.concatenate(hv)),
+            hinge_stencil=jnp.asarray(np.concatenate(hstencil)),
+            hinge_mask=jnp.asarray(np.concatenate(hmask)),
+            hinge_coef=jnp.asarray(np.concatenate(hcoef), d),
+            hinge_cloth=jnp.asarray(np.concatenate(hcloth)),
+            counter_face=jnp.asarray(np.concatenate(cf_all)),
+            counter_point=jnp.asarray(np.concatenate(cp_all)),
+            n_cloths=len(cloths),
+            NV_per=tuple(b.n_verts for b in cloths),
+            N=tuple(b.cloth_mesh.N for b in cloths),
+            M=tuple(b.cloth_mesh.M for b in cloths),
+            offsets=tuple(b.v_offset for b in cloths),
+            face_offsets=tuple(
+                int(np.sum([c.n_faces for c in cloths[:i]])) for i in range(len(cloths))
+            ),
+            k_angle=tuple(b.k_angle for b in cloths),
+            dx=tuple(b.dx for b in cloths),
+        )
+
+    def _build_tet_soup(self, kind, pos0, mass) -> TetSoup:
+        d = self.cfg["dtype"]
+        bodies = [b for b in self.bodies if b.kind == kind]
+        tets, Bs, Ws, groups = [], [], [], []
+        for b in bodies:
+            t = b.tet_mesh.tets + b.v_offset
+            x = pos0[t]  # (T, 4, 3)
+            D = np.stack([x[:, i] - x[:, 3] for i in range(3)], axis=2)  # cols
+            B = np.linalg.inv(D)
+            W = np.abs(np.linalg.det(D)) / 6.0
+            tets.append(t)
+            Bs.append(B)
+            Ws.append(W)
+            groups.append(np.full(len(t), b.group, np.int32))
+            # lumped mass (reference init_pos:240-245)
+            for i in range(4):
+                np.add.at(mass, t[:, i], W / 4.0 * b.density)
+        if not bodies:
+            return TetSoup(
+                tets=jnp.zeros((0, 4), jnp.int32),
+                B=jnp.zeros((0, 3, 3), d),
+                W=jnp.zeros((0,), d),
+                group=jnp.zeros((0,), jnp.int32),
+            )
+        return TetSoup(
+            tets=jnp.asarray(np.concatenate(tets)),
+            B=jnp.asarray(np.concatenate(Bs), d),
+            W=jnp.asarray(np.concatenate(Ws), d),
+            group=jnp.asarray(np.concatenate(groups)),
+        )
+
+    def _build_contact(self) -> ContactSpec:
+        cq_vert, cq_pair, cq_mu, cq_fs, cq_nf = [], [], [], [], []
+        max_nf = 1
+        for pi, (src, tgt, mu_slot) in enumerate(self.pairs):
+            sb, tb = self.bodies[src], self.bodies[tgt]
+            verts = np.arange(tb.v_offset, tb.v_offset + tb.n_verts, dtype=np.int32)
+            cq_vert.append(verts)
+            cq_pair.append(np.full(len(verts), pi, np.int32))
+            cq_mu.append(np.full(len(verts), mu_slot, np.int32))
+            cq_fs.append(np.full(len(verts), sb.f_offset, np.int32))
+            cq_nf.append(np.full(len(verts), sb.n_faces, np.int32))
+            max_nf = max(max_nf, sb.n_faces)
+        if not self.pairs:
+            cq_vert = [np.zeros(1, np.int32)]
+            cq_pair = [np.zeros(1, np.int32)]
+            cq_mu = [np.zeros(1, np.int32)]
+            cq_fs = [np.zeros(1, np.int32)]
+            cq_nf = [np.zeros(1, np.int32)]
+        cq_vert = np.concatenate(cq_vert)
+        return ContactSpec(
+            cq_vert=jnp.asarray(cq_vert),
+            cq_pair=jnp.asarray(np.concatenate(cq_pair)),
+            cq_mu_id=jnp.asarray(np.concatenate(cq_mu)),
+            cq_fstart=jnp.asarray(np.concatenate(cq_fs)),
+            cq_nf=jnp.asarray(np.concatenate(cq_nf)),
+            n_pairs=max(len(self.pairs), 1),
+            capacity=len(cq_vert),
+            max_src_faces=max_nf,
+            top_k=self.contact_top_k,
+        )
+
+    def _build_gripper(self, pos0):
+        d = self.cfg["dtype"]
+        if self.gripper_cfg is None:
+            spec = GripperSpec(
+                bound_idx=jnp.zeros((0,), jnp.int32),
+                pad_rest=jnp.zeros((0, 3), d),
+            )
+            state = GripperState(
+                pos=jnp.zeros((0, 3), d),
+                rot=jnp.zeros((0, 4), d),
+                dist=jnp.zeros((0,), d),
+                pad_local=jnp.zeros((0, 0, 3), d),
+            )
+            return spec, state
+        cfg = self.gripper_cfg
+        pads = [self.bodies[i] for i in cfg["pad_bodies"]]
+        mesh = pads[0].tet_mesh
+        n_pad_verts = mesh.n_verts
+        bound = mesh.bound_idx
+        n_part = int(max(cfg["pad_part"])) + 1
+        part_pos = cfg["part_pos"]
+        pad_local = np.stack(
+            [
+                pos0[p.v_offset : p.v_offset + n_pad_verts] - part_pos[cfg["pad_part"][i]]
+                for i, p in enumerate(pads)
+            ]
+        )
+        spec = GripperSpec(
+            bound_idx=jnp.asarray(bound),
+            pad_rest=jnp.asarray(mesh.rest_pos, d),
+            mode=cfg["mode"],
+            n_part=n_part,
+            n_pads=len(pads),
+            pad_offset=tuple(p.v_offset for p in pads),
+            pad_part=tuple(cfg["pad_part"]),
+            pad_sign=tuple(cfg["pad_sign"]),
+            pad_flip=tuple(False for _ in pads),
+            n_pad_verts=n_pad_verts,
+            n_bound=len(bound),
+        )
+        state = GripperState(
+            pos=jnp.asarray(part_pos, d),
+            rot=jnp.asarray(
+                np.tile(np.array([1.0, 0, 0, 0]), (n_part, 1)), d
+            ),
+            dist=jnp.zeros((n_part,), d),
+            pad_local=jnp.asarray(pad_local, d),
+        )
+        return spec, state
+
+    # ------------------------------------------------------------ accessors
+
+    def vrange(self, body: int):
+        b = self.bodies[body]
+        return b.v_offset, b.v_offset + b.n_verts
+
+
+def _build_hinges(mesh: topology.ClothMesh, init_pos: np.ndarray):
+    """Build the hinge soup for one cloth: stencils [v0,v1,v2,v3], the
+    counter-face cycle order, and the signed-edge orientation that fixes the
+    reference's angle-sign convention (see energies.hinge_angle)."""
+    NF = mesh.NF
+    NH = NF * 3
+    hv = np.zeros((NH, 4), np.int32)
+    st = np.zeros((NH, 4), np.int32)
+    mask = np.zeros((NH,), bool)
+    f2v, cf, cp = mesh.f2v, mesh.counter_face, mesh.counter_point
+    for i in range(NF):
+        for l in range(3):
+            h = i * 3 + l
+            v0 = f2v[i, l]
+            v1 = f2v[i, (l + 1) % 3]
+            v2 = f2v[i, (l + 2) % 3]
+            hv[h, :3] = (v0, v1, v2)
+            j = cf[i, l]
+            if not (j > i):
+                continue
+            p4 = cp[i, l]
+            v3 = f2v[j, p4]
+            hv[h, 3] = v3
+            stencil_of = {v0: 0, v1: 1, v2: 2, v3: 3}
+            ja_v = f2v[j, (p4 + 1) % 3]
+            jb_v = f2v[j, (p4 + 2) % 3]
+            if ja_v not in stencil_of or jb_v not in stencil_of:
+                # degenerate table entry: faces don't share two stencil verts
+                continue
+            ja, jb = stencil_of[ja_v], stencil_of[jb_v]
+            # shared edge = the two stencil verts of face i also in face j
+            shared = [s for s in (0, 1, 2) if hv[h, s] in (ja_v, jb_v, v3) and hv[h, s] != v3]
+            if len(shared) != 2:
+                continue
+            ea, eb = shared
+            # reference sign edge: e = x[f2v[i][(l+1)%2]] - x[v0]
+            sb_local = (l + 1) % 2  # 0 or 1 within f2v order
+            sb_v = f2v[i, sb_local]
+            sb = stencil_of.get(sb_v, 1)
+            # fix (ea, eb) orientation: need (e_hat x n1) . e_sign > 0
+            x = init_pos
+            n1 = np.cross(x[v1] - x[v0], x[v2] - x[v1])
+            ehat = x[hv[h, eb]] - x[hv[h, ea]]
+            e_sign = x[sb_v] - x[v0]
+            if np.dot(np.cross(ehat, n1), e_sign) < 0:
+                ea, eb = eb, ea
+            st[h] = (ja, jb, ea, eb)
+            mask[h] = True
+    return hv, st, mask

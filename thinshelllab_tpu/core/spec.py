@@ -1,0 +1,210 @@
+"""SceneSpec / Params / SimState: the static+dynamic decomposition of a scene.
+
+Reference mapping (Genesis-Embodied-AI/ThinShellLab):
+  * BaseScene's Taichi fields with per-body offsets (BaseScene.py:69-195)
+    become flat jnp arrays over one global vertex soup.
+  * Material bodies become element "soups": one face soup for all cloths,
+    one hinge soup for all dihedrals, and two tet soups (stable-neo-Hookean
+    "offset" variant, model_elastic_offset.py; tactile variant,
+    model_elastic_tactile.py).
+  * Contact pair declarations (BaseScene.contact_analysis :818-835 and scene
+    overrides) become a static directed-pair table with a fixed-capacity
+    query/constraint buffer (one slot per (source body, target vertex)).
+  * Differentiable physical parameters (Kl/Ka/Kb per cloth, mu/lambda per
+    elastic group, friction coefficients per pair) live in Params.
+  * Time-varying data (positions, velocities, plastic reference angles,
+    latched contact sides, gripper pose) lives in SimState.
+"""
+from __future__ import annotations
+
+from typing import Any, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.pytree import pytree_dataclass, static_field
+
+
+@pytree_dataclass
+class ClothSoup:
+    """All cloth faces/hinges of the scene, concatenated."""
+
+    # faces
+    f2v: Any            # (NFc, 3) int32 global vertex ids
+    cloth_id: Any       # (NFc,) int32
+    l0: Any             # (NFc, 3) rest edge lengths (edge l: f2v[l] -> f2v[(l+1)%3])
+    rest_area: Any      # (NFc,)
+    # hinges: flattened (face, l) pairs, NH = 3 * NFc, raster order
+    hinge_verts: Any    # (NH, 4) int32: [v0, v1, v2, v3] stencil
+    hinge_stencil: Any  # (NH, 4) int32: (ja, jb, ea, eb) -- see energies.hinge_angle
+    hinge_mask: Any     # (NH,) bool: active hinge (counter_face > face)
+    hinge_coef: Any     # (NH,) dx^2 / 3 bending coefficient (without Kb)
+    hinge_cloth: Any    # (NH,) int32
+    counter_face: Any   # (NFc, 3) int32 (soup-global face id; -1/stale when inactive)
+    counter_point: Any  # (NFc, 3) int32
+    # geometry metadata
+    n_cloths: int = static_field(default=0)
+    NV_per: Tuple[int, ...] = static_field(default=())
+    N: Tuple[int, ...] = static_field(default=())
+    M: Tuple[int, ...] = static_field(default=())
+    offsets: Tuple[int, ...] = static_field(default=())        # global vertex offset
+    face_offsets: Tuple[int, ...] = static_field(default=())   # offset into soup
+    k_angle: Tuple[float, ...] = static_field(default=())      # plastic yield per cloth
+    dx: Tuple[float, ...] = static_field(default=())
+
+
+@pytree_dataclass
+class TetSoup:
+    tets: Any      # (T, 4) int32 global vertex ids
+    B: Any         # (T, 3, 3) rest shape-matrix inverse
+    W: Any         # (T,) rest volume
+    group: Any     # (T,) int32 index into the soup's (mu, lam) param arrays
+
+
+@pytree_dataclass
+class ContactSpec:
+    """Directed contact pair table + fixed-capacity query buffer.
+
+    Pair p: project vertices of body tgt(p) onto faces of body src(p) with
+    friction coefficient params.mu_pairs[mu_id(p)].
+    """
+
+    cq_vert: Any    # (C,) int32 global target vertex id
+    cq_pair: Any    # (C,) int32 pair index
+    cq_mu_id: Any   # (C,) int32 index into params.mu_pairs
+    cq_fstart: Any  # (C,) int32 first face of the source body
+    cq_nf: Any      # (C,) int32 number of faces of the source body
+    n_pairs: int = static_field(default=0)
+    capacity: int = static_field(default=0)
+    max_src_faces: int = static_field(default=0)
+    top_k: int = static_field(default=32)
+
+
+@pytree_dataclass
+class GripperSpec:
+    """Rigid 6-DoF (+opening) effector owning tactile pads.
+
+    mode 'paired': two pads per part (gripper_tactile.py); 'single': one pad
+    per part (gripper_single.py); 'none': no effector.
+    """
+
+    bound_idx: Any         # (nb,) int32 pad-local ids of driven (frozen) verts
+    pad_rest: Any          # (n_pad_verts, 3) scaled rest positions (ratio applied)
+    mode: str = static_field(default="none")
+    n_part: int = static_field(default=0)
+    n_pads: int = static_field(default=0)
+    pad_offset: Tuple[int, ...] = static_field(default=())  # global vertex offset/pad
+    pad_part: Tuple[int, ...] = static_field(default=())
+    pad_sign: Tuple[int, ...] = static_field(default=())    # +1 upper, -1 lower
+    pad_flip: Tuple[bool, ...] = static_field(default=())   # rest mirrored (z-flip)
+    n_pad_verts: int = static_field(default=0)
+    n_bound: int = static_field(default=0)
+
+
+@pytree_dataclass
+class SceneSpec:
+    # global vertex soup
+    mass: Any       # (NV,)
+    gravity: Any    # (NV, 3)
+    ext_force: Any  # (NV, 3)
+    frozen: Any     # (NV, 3) bool
+    faces: Any      # (F, 3) int32 (all bodies' surface triangles)
+    cloth: ClothSoup
+    neo: TetSoup    # stable-neo-Hookean elastics (table/box/ball)
+    tact: TetSoup   # tactile-pad elastics
+    contact: ContactSpec
+    gripper: GripperSpec
+    # static config
+    NV: int = static_field(default=0)
+    n_bodies: int = static_field(default=0)
+    body_v_start: Tuple[int, ...] = static_field(default=())
+    body_v_end: Tuple[int, ...] = static_field(default=())
+    body_f_start: Tuple[int, ...] = static_field(default=())
+    body_f_end: Tuple[int, ...] = static_field(default=())
+    dt: float = static_field(default=5e-3)
+    damping: float = static_field(default=1.0)
+    k_contact: float = static_field(default=10000.0)
+    eps_contact: float = static_field(default=4e-4)
+    eps_v: float = static_field(default=1e-2)
+    max_newton_iter: int = static_field(default=50)
+    newton_tol: float = static_field(default=1e-7)
+    linesearch_min_alpha: float = static_field(default=1e-8)
+    plastic: bool = static_field(default=False)
+    grid_h: float = static_field(default=3e-3)  # broadphase candidate cutoff scale
+    solver: str = static_field(default="dense")  # 'dense' | 'cg'
+    cg_tol: float = static_field(default=1e-10)
+    cg_max_iter: int = static_field(default=400)
+    dtype: Any = static_field(default=jnp.float64)
+
+
+@pytree_dataclass
+class Params:
+    """Differentiable physical parameters."""
+
+    kl: Any        # (n_cloths,)
+    ka: Any        # (n_cloths,)
+    kb: Any        # (n_cloths,)
+    neo_mu: Any    # (n_neo_groups,)
+    neo_lam: Any   # (n_neo_groups,)
+    tact_mu: Any   # (n_tact_groups,)
+    tact_lam: Any  # (n_tact_groups,)
+    mu_pairs: Any  # (n_mu_slots,) friction coefficients
+
+
+@pytree_dataclass
+class GripperState:
+    pos: Any        # (n_part, 3)
+    rot: Any        # (n_part, 4) scalar-first quaternion
+    dist: Any       # (n_part,) half opening distance
+    pad_local: Any  # (n_pads, n_pad_verts, 3) body-frame vertex coords
+
+
+@pytree_dataclass
+class SimState:
+    pos: Any        # (NV, 3)
+    vel: Any        # (NV, 3)
+    ref_angle: Any  # (NH,) plastic reference angles (hinge soup order)
+    proj_flag: Any  # (C,) int32 latched projection validity per contact query
+    proj_dir: Any   # (C,) int32 latched contact side
+    gripper: GripperState
+
+
+@pytree_dataclass
+class ContactSet:
+    """Constraint buffer built each step (fixed capacity C, masked)."""
+
+    active: Any  # (C,) bool
+    idx: Any     # (C, 4) int32: triangle verts (0..2) + projecting vertex (3)
+    w: Any       # (C, 3) barycentric weights
+    n: Any       # (C, 3) contact normal
+    k: Any       # (C,) friction scale  = -mu * pressure_force
+    mu: Any      # (C,)
+    dx0: Any     # (C, 3) reference tangential offset
+    T: Any       # (C, 2, 3) tangent frame
+
+
+def zero_params(spec: SceneSpec) -> Params:
+    d = spec.dtype
+    nc = spec.cloth.n_cloths
+    return Params(
+        kl=jnp.full((max(nc, 1),), 1000.0, d),
+        ka=jnp.full((max(nc, 1),), 1000.0, d),
+        kb=jnp.full((max(nc, 1),), 100.0, d),
+        neo_mu=jnp.zeros((1,), d),
+        neo_lam=jnp.zeros((1,), d),
+        tact_mu=jnp.zeros((1,), d),
+        tact_lam=jnp.zeros((1,), d),
+        mu_pairs=jnp.zeros((1,), d),
+    )
+
+
+def body_of_vertex(spec: SceneSpec, i: int) -> int:
+    for b in range(spec.n_bodies):
+        if spec.body_v_start[b] <= i < spec.body_v_end[b]:
+            return b
+    raise ValueError(i)
+
+
+def np_or_jnp(x, dtype=None):
+    a = np.asarray(x)
+    return jnp.asarray(a, dtype=dtype)

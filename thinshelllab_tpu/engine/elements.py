@@ -1,0 +1,312 @@
+"""Element evaluation: energies, forces (AD gradients) and per-element
+Hessian blocks (AD forward-over-reverse), vmapped over element soups.
+
+Each evaluation produces a list of "groups": dicts with
+    idx: (E, k) int32 global vertex ids
+    g:   (E, k, 3) per-element energy gradient (zeroed when inactive)
+    H:   (E, k, k, 3, 3) element Hessian blocks H[e,a,b] = d2E/dx_a dx_b
+
+Assembly (residual scatter, dense Hessian, matrix-free Hvp, block-Jacobi
+diagonal, frozen-column products for the adjoint) is generic over groups --
+this replaces the reference's per-material `add_F`/`add_H` Taichi scatter
+kernels (BaseScene.py:392-405) and its dense-storage SparseMatrix
+(engine/sparse_solver.py).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core.spec import ContactSet, Params, SceneSpec
+from ..ops import energies as en
+from ..ops.spd import project_psd, project_psd_2x2
+
+# S[j, a] maps vertex index a to tet shape-matrix column j: D[:, j] = x_j - x_3
+_S_TET = jnp.concatenate([jnp.eye(3), -jnp.ones((1, 3))], axis=0)  # (4, 3) [a, j]
+# Contact relative rows R[r] = x_{r+1} - x_0
+_S_REL = jnp.concatenate([-jnp.ones((1, 3)), jnp.eye(3)], axis=0)  # (4, r)
+
+
+# --------------------------------------------------------------------------
+# per-soup energy evaluation
+# --------------------------------------------------------------------------
+
+
+def _face_params(spec: SceneSpec, params: Params):
+    kl = params.kl[spec.cloth.cloth_id]
+    ka = params.ka[spec.cloth.cloth_id]
+    return kl, ka
+
+
+def membrane_eval(spec, params, pos, with_hess: bool, spd: bool):
+    c = spec.cloth
+    x = pos[c.f2v]  # (E, 3, 3)
+    kl, ka = _face_params(spec, params)
+
+    def e_fn(xf, l0, area, kl_, ka_):
+        return en.membrane_energy(xf, l0, area, kl_, ka_)
+
+    g_fn = jax.grad(e_fn)
+    E = jax.vmap(e_fn)(x, c.l0, c.rest_area, kl, ka)
+    g = jax.vmap(g_fn)(x, c.l0, c.rest_area, kl, ka)
+    out = {"idx": c.f2v, "g": g}
+    if with_hess:
+        H = jax.vmap(jax.jacfwd(g_fn))(x, c.l0, c.rest_area, kl, ka)  # (E,3,3,3,3)
+        # layout (a, i, b, j) -> (a, b, i, j)
+        H = jnp.transpose(H, (0, 1, 3, 2, 4))
+        if spd:
+            H9 = H.transpose(0, 1, 3, 2, 4).reshape(-1, 9, 9)
+            H9 = project_psd(H9)
+            H = H9.reshape(-1, 3, 3, 3, 3).transpose(0, 1, 3, 2, 4)
+        out["H"] = H
+    return jnp.sum(E), out
+
+
+def bending_eval(spec, params, pos, ref_angle, with_hess: bool, spd: bool):
+    c = spec.cloth
+    x = pos[c.hinge_verts]  # (NH, 4, 3)
+    kb = params.kb[c.hinge_cloth]
+    mask = c.hinge_mask
+
+    def e_fn(xh, stencil, ref, coef, kb_):
+        return en.bending_energy(xh, stencil, ref, coef, kb_)
+
+    g_fn = jax.grad(e_fn)
+    E = jax.vmap(e_fn)(x, c.hinge_stencil, ref_angle, c.hinge_coef, kb)
+    g = jax.vmap(g_fn)(x, c.hinge_stencil, ref_angle, c.hinge_coef, kb)
+    m = mask.astype(pos.dtype)
+    E = jnp.sum(E * m)
+    g = g * m[:, None, None]
+    out = {"idx": c.hinge_verts, "g": g}
+    if with_hess:
+        H = jax.vmap(jax.jacfwd(g_fn))(x, c.hinge_stencil, ref_angle, c.hinge_coef, kb)
+        H = jnp.transpose(H, (0, 1, 3, 2, 4)) * m[:, None, None, None, None]
+        if spd:
+            H12 = H.transpose(0, 1, 3, 2, 4).reshape(-1, 12, 12)
+            H12 = project_psd(H12)
+            H = H12.reshape(-1, 4, 3, 4, 3).transpose(0, 1, 3, 2, 4)
+        out["H"] = H
+    return E, out
+
+
+def _tet_eval(energy, soup, mu_arr, lam_arr, pos, with_hess: bool, spd: bool):
+    x = pos[soup.tets]  # (T, 4, 3)
+    D = jnp.einsum("aj,tai->tij", _S_TET, x)  # columns x_a - x_3
+    mu = mu_arr[soup.group]
+    lam = lam_arr[soup.group]
+
+    def e_fn(Dm, B, W, mu_, lam_):
+        return energy(Dm, B, W, mu_, lam_)
+
+    g_fn = jax.grad(e_fn)
+    E = jax.vmap(e_fn)(D, soup.B, soup.W, mu, lam)
+    G = jax.vmap(g_fn)(D, soup.B, soup.W, mu, lam)  # (T, 3, 3) dE/dD_ij
+    g = jnp.einsum("tij,aj->tai", G, _S_TET)
+    out = {"idx": soup.tets, "g": g}
+    if with_hess:
+        Hd = jax.vmap(jax.jacfwd(g_fn))(D, soup.B, soup.W, mu, lam)  # (T,3,3,3,3)
+        if spd:
+            H9 = Hd.reshape(-1, 9, 9)
+            H9 = project_psd(H9)
+            Hd = H9.reshape(-1, 3, 3, 3, 3)
+        H = jnp.einsum("tijkl,aj,bl->tabik", Hd, _S_TET, _S_TET)
+        out["H"] = H
+    return jnp.sum(E), out
+
+
+def neo_eval(spec, params, pos, with_hess, spd):
+    return _tet_eval(
+        en.neo_energy, spec.neo, params.neo_mu, params.neo_lam, pos, with_hess, spd
+    )
+
+
+def tact_eval(spec, params, pos, with_hess, spd):
+    return _tet_eval(
+        en.tactile_energy, spec.tact, params.tact_mu, params.tact_lam, pos,
+        with_hess, spd,
+    )
+
+
+def barrier_eval(spec, contact: ContactSet, pos, with_hess: bool, spd: bool):
+    idx = contact.idx
+    x = pos[idx]  # (C, 4, 3)
+    R = jnp.einsum("ar,cai->cri", _S_REL, x)  # rows x_{r+1} - x_0
+
+    def e_fn(Rm):
+        return en.barrier_energy(Rm, spec.k_contact, spec.eps_contact)
+
+    g_fn = jax.grad(e_fn)
+    E = jax.vmap(e_fn)(R)
+    G = jax.vmap(g_fn)(R)  # (C, 3, 3)
+    m = contact.active.astype(pos.dtype)
+    g = jnp.einsum("cri,ar->cai", G, _S_REL) * m[:, None, None]
+    out = {"idx": idx, "g": g}
+    if with_hess:
+        Hr = jax.vmap(jax.jacfwd(g_fn))(R)  # (C, 3,3,3,3): (r,i,s,k)
+        if spd:
+            H9 = Hr.reshape(-1, 9, 9)
+            H9 = project_psd(H9)
+            Hr = H9.reshape(-1, 3, 3, 3, 3)
+        H = jnp.einsum("crisk,ar,bs->cabik", Hr, _S_REL, _S_REL)
+        out["H"] = H * m[:, None, None, None, None]
+    return jnp.sum(E * m), out
+
+
+def friction_eval(spec, contact: ContactSet, pos, with_hess: bool, spd: bool):
+    """Smoothed Coulomb friction (reference BaseScene.py:548-595). The force
+    and Hessian have the closed form
+        g = k f1(r) T^T u,  H = w1 w1^T (x) k T^T h T,
+        h = f1(r) I + (f1'(r)/r) u u^T
+    with w1 = [-w0, -w1, -w2, 1]; the reference SPD-projects only h (2x2)."""
+    idx = contact.idx
+    x = pos[idx]
+    w = contact.w
+    T = contact.T
+    k = contact.k
+    eh = spec.eps_v * spec.dt
+
+    xc = jnp.einsum("ck,cki->ci", w, x[:, :3])
+    dx = x[:, 3] - xc - contact.dx0
+    u = jnp.einsum("cti,ci->ct", T, dx)  # (C, 2)
+    r = jnp.linalg.norm(u, axis=1)
+
+    f1 = jnp.where(r > eh, 1.0 / jnp.maximum(r, 1e-300), -r / eh**2 + 2.0 / eh)
+    E = k * en.f0_smooth(r, spec.eps_v, spec.dt)
+
+    g_u = u * (k * f1)[:, None]          # (C, 2)
+    g1 = jnp.einsum("ct,cti->ci", g_u, T)  # (C, 3)
+    w1 = jnp.concatenate([-w, jnp.ones((w.shape[0], 1), w.dtype)], axis=1)  # (C,4)
+    m = contact.active.astype(pos.dtype)
+    g = w1[:, :, None] * g1[:, None, :] * m[:, None, None]
+    out = {"idx": idx, "g": g}
+    if with_hess:
+        f1p = jnp.where(r > eh, -1.0 / jnp.maximum(r, 1e-300) ** 2, -1.0 / eh**2)
+        uu = jnp.einsum("ct,cs->cts", u, u)
+        safe_r = jnp.maximum(r, 1e-300)
+        h = f1[:, None, None] * jnp.eye(2) + (f1p / safe_r)[:, None, None] * uu
+        if spd:
+            h = project_psd_2x2(h)
+        h1 = k[:, None, None] * jnp.einsum("cti,cts,csj->cij", T, h, T)
+        H = jnp.einsum("ca,cb,cij->cabij", w1, w1, h1)
+        out["H"] = H * m[:, None, None, None, None]
+    return jnp.sum(E * m), out
+
+
+# --------------------------------------------------------------------------
+# Totals
+# --------------------------------------------------------------------------
+
+
+def total_energy(spec, params, pos, prev_pos, vel, ref_angle, contact):
+    e = en.inertia_external_energy(
+        pos, prev_pos, vel, spec.mass, spec.gravity, spec.ext_force, spec.dt
+    )
+    e_m, _ = membrane_eval(spec, params, pos, False, False)
+    e_b, _ = bending_eval(spec, params, pos, ref_angle, False, False)
+    e_n, _ = neo_eval(spec, params, pos, False, False)
+    e_t, _ = tact_eval(spec, params, pos, False, False)
+    e_c, _ = barrier_eval(spec, contact, pos, False, False)
+    e_f, _ = friction_eval(spec, contact, pos, False, False)
+    return e + e_m + e_b + e_n + e_t + e_c + e_f
+
+
+def all_groups(spec, params, pos, ref_angle, contact, with_hess=True, spd=True):
+    groups = []
+    _, gm = membrane_eval(spec, params, pos, with_hess, spd)
+    groups.append(gm)
+    _, gb = bending_eval(spec, params, pos, ref_angle, with_hess, spd)
+    groups.append(gb)
+    if spec.neo.tets.shape[0]:
+        _, gn = neo_eval(spec, params, pos, with_hess, spd)
+        groups.append(gn)
+    if spec.tact.tets.shape[0]:
+        _, gt = tact_eval(spec, params, pos, with_hess, spd)
+        groups.append(gt)
+    _, gc = barrier_eval(spec, contact, pos, with_hess, spd)
+    groups.append(gc)
+    _, gf = friction_eval(spec, contact, pos, with_hess, spd)
+    groups.append(gf)
+    return groups
+
+
+# --------------------------------------------------------------------------
+# Assembly
+# --------------------------------------------------------------------------
+
+
+def assemble_residual(spec, groups, pos, prev_pos, vel):
+    """Global gradient of the incremental potential, with frozen DOFs zeroed
+    (reference compute_residual_and_Hessian:976-989 + apply_frozen)."""
+    X = pos - prev_pos - vel * spec.dt
+    F = spec.mass[:, None] * X / spec.dt**2
+    F = F - spec.mass[:, None] * spec.gravity - spec.ext_force
+    for g in groups:
+        F = F.at[g["idx"]].add(g["g"])
+    return jnp.where(spec.frozen, 0.0, F)
+
+
+def dense_hessian(spec, groups):
+    """Assemble the full (3NV, 3NV) Hessian. Frozen rows/cols of element
+    blocks are dropped; the inertia diagonal m/dt^2 is kept for all DOFs
+    (matching the reference, where the mass diagonal bypasses add_H)."""
+    n = spec.NV * 3
+    unf = (~spec.frozen).astype(spec.mass.dtype).reshape(-1)  # (3NV,)
+    H = jnp.zeros((n, n), spec.mass.dtype)
+    for g in groups:
+        idx = g["idx"]
+        Hb = g["H"]
+        E, k = idx.shape
+        dof = idx[..., None] * 3 + jnp.arange(3)  # (E, k, 3)
+        rows = dof[:, :, None, :, None]  # (E, k, 1, 3, 1)
+        cols = dof[:, None, :, None, :]  # (E, 1, k, 1, 3)
+        rows = jnp.broadcast_to(rows, Hb.shape)
+        cols = jnp.broadcast_to(cols, Hb.shape)
+        vals = Hb * unf[rows] * unf[cols]
+        H = H.at[rows.reshape(-1), cols.reshape(-1)].add(vals.reshape(-1))
+    diag = jnp.repeat(spec.mass / spec.dt**2, 3)
+    H = H + jnp.diag(diag)
+    return H
+
+
+def hvp(spec, groups, x):
+    """Matrix-free H @ x with the same frozen masking as dense_hessian.
+    x: (NV, 3) -> (NV, 3)."""
+    unf = (~spec.frozen).astype(x.dtype)
+    y = (spec.mass / spec.dt**2)[:, None] * x
+    xm = x * unf
+    for g in groups:
+        xg = xm[g["idx"]]  # (E, k, 3)
+        contrib = jnp.einsum("eabij,ebj->eai", g["H"], xg)
+        y = y.at[g["idx"]].add(contrib * unf[g["idx"]])
+    return y
+
+
+def diag_blocks(spec, groups):
+    """(NV, 3, 3) block diagonal of the assembled Hessian (block-Jacobi)."""
+    unf = (~spec.frozen).astype(spec.mass.dtype)
+    D = jnp.zeros((spec.NV, 3, 3), spec.mass.dtype)
+    eye = jnp.eye(3, dtype=spec.mass.dtype)
+    D = D + (spec.mass / spec.dt**2)[:, None, None] * eye
+    for g in groups:
+        idx = g["idx"]
+        k = idx.shape[1]
+        for a in range(k):
+            blk = g["H"][:, a, a]
+            mask = unf[idx[:, a]]
+            blk = blk * mask[:, :, None] * mask[:, None, :]
+            D = D.at[idx[:, a]].add(blk)
+    return D
+
+
+def frozen_column_product(spec, groups, z):
+    """tmp_z_frozen[j] = - sum_{i unfrozen} H_ij z_i for frozen DOFs j
+    (reference add_H counting path, BaseScene.py:403-405). z: (NV, 3)."""
+    unf = (~spec.frozen).astype(z.dtype)
+    fro = spec.frozen.astype(z.dtype)
+    t = jnp.zeros_like(z)
+    zm = z * unf
+    for g in groups:
+        zg = zm[g["idx"]]  # rows i (unfrozen masked)
+        contrib = jnp.einsum("eabij,eai->ebj", g["H"], zg)
+        t = t.at[g["idx"]].add(-contrib * fro[g["idx"]])
+    return t

@@ -1,0 +1,108 @@
+"""The implicit time step as a pure function: state x action -> state.
+
+Mirrors the reference step structure (BaseScene.time_step:1327-1374 plus the
+per-frame driver calls, e.g. trajopt_folding.py:88-98):
+
+  1. effector action: rigid gripper update writes pad boundary vertices
+  2. snapshot prev_pos, compute vertex normals
+  3. projection query (latched contact side) + contact analysis
+  4. line-searched Newton on the incremental potential
+  5. damped velocity update and plastic reference-angle update
+
+Everything is jittable; a full rollout is `lax.scan(time_step, ...)`.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.spec import Params, SceneSpec, SimState
+from ..ops import collision, energies
+from . import elements, gripper, solver
+
+
+class StepAux(NamedTuple):
+    """Per-step saved quantities for the adjoint / analysis."""
+
+    prev_pos: jnp.ndarray
+    contact_active: jnp.ndarray
+    newton_pos: jnp.ndarray
+
+
+def update_ref_angle(spec: SceneSpec, pos, ref_angle):
+    """Plastic yield update (reference model_fold_offset.update_ref_angle
+    :177-186): when |theta - ref| exceeds k_angle, ref moves to the yield
+    surface."""
+    c = spec.cloth
+    x = pos[c.hinge_verts]
+    theta = jax.vmap(energies.hinge_angle)(x, c.hinge_stencil)
+    k_angle = jnp.asarray(c.k_angle, pos.dtype)[c.hinge_cloth]
+    dis = theta - ref_angle
+    absd = jnp.abs(dis)
+    yielded = (absd > k_angle) & c.hinge_mask
+    new_ref = ref_angle + jnp.where(yielded, (absd - k_angle) * jnp.sign(dis), 0.0)
+    return new_ref
+
+
+def build_contacts(spec: SceneSpec, params: Params, pos, prev_pos, proj_flag,
+                   proj_dir):
+    vn = collision.vertex_normals(pos, spec.faces, spec.NV)
+    proj_flag, proj_dir, tri, w = collision.projection_query(
+        spec, pos, vn, proj_flag, proj_dir
+    )
+    contact = collision.contact_analysis(
+        spec, params.mu_pairs, pos, prev_pos, proj_flag, proj_dir, tri, w
+    )
+    return contact, proj_flag, proj_dir
+
+
+def time_step(spec: SceneSpec, params: Params, state: SimState, action):
+    """action: (delta_pos (G,3), delta_rot (G,3), delta_dis (G,))."""
+    delta_pos, delta_rot, delta_dis = action
+    gs = gripper.gripper_step(spec, state.gripper, delta_pos, delta_rot, delta_dis)
+    pos = gripper.write_bound_vertices(spec, state.pos, gs)
+
+    prev_pos = pos
+    contact, proj_flag, proj_dir = build_contacts(
+        spec, params, pos, prev_pos, state.proj_flag, state.proj_dir
+    )
+
+    new_pos = solver.newton_solve(
+        spec, params, pos, prev_pos, state.vel, state.ref_angle, contact
+    )
+
+    new_vel = (new_pos - prev_pos) * (spec.damping / spec.dt)
+    ref_angle = state.ref_angle
+    if spec.plastic:
+        ref_angle = update_ref_angle(spec, new_pos, ref_angle)
+
+    new_state = SimState(
+        pos=new_pos,
+        vel=new_vel,
+        ref_angle=ref_angle,
+        proj_flag=proj_flag,
+        proj_dir=proj_dir,
+        gripper=gs,
+    )
+    aux = StepAux(prev_pos=prev_pos, contact_active=contact.active,
+                  newton_pos=new_pos)
+    return new_state, aux
+
+
+def rollout(spec: SceneSpec, params: Params, state: SimState, actions):
+    """Scan a full trajectory. actions: tuple of (T, G, 3)/(T, G, 3)/(T, G).
+
+    Returns (final_state, buffers) where buffers stack per-step pos,
+    ref_angle and gripper pose -- the adjoint's trajectory tape (reference
+    analytic_grad_single.copy_pos:38-52)."""
+
+    def f(st, act):
+        st2, _aux = time_step(spec, params, st, act)
+        saved = (st2.pos, st2.ref_angle, st2.gripper.pos, st2.gripper.rot,
+                 st2.gripper.dist, st2.gripper.pad_local)
+        return st2, saved
+
+    final, saved = jax.lax.scan(f, state, actions)
+    return final, saved

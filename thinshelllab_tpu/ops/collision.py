@@ -1,0 +1,215 @@
+"""Collision pipeline: broadphase candidate selection, closest point-triangle
+projection, and contact-constraint construction.
+
+TPU-native redesign of the reference's uniform-grid counting-sort broadphase
+(engine/geometry.py:96-229): instead of a mutable grid we take, per contact
+query (source body, target vertex), the top-K source faces by centroid
+distance (static shapes, no scatter), mask them to the reference's
+neighborhood radius, and run the exact point-triangle classification
+(geometry.pt2tri:23-87) on the K candidates.
+
+The projection side (`proj_dir`) is latched at first contact exactly like the
+reference (geometry.project_pair:210-219), and constraints are built per
+(source body, target vertex) slot following BaseScene.contact_pair_analysis
+(:778-816): one constraint slot per query, masked by gap < eps_contact.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core.spec import ContactSet, SceneSpec
+
+
+def pt2tri(x, p1, p2, p3):
+    """Closest-point classification of x against triangle (p1,p2,p3).
+
+    Returns (case, d, w): case 0 interior, 1/2/3 vertex, -3/-1/-2 edges
+    (12/23/31), distance d, barycentric weights w. Vectorizable; mirrors
+    reference geometry.pt2tri semantics."""
+    e1 = (p2 - p1) / jnp.linalg.norm(p2 - p1)
+    e2 = (p3 - p2) / jnp.linalg.norm(p3 - p2)
+    e3 = (p1 - p3) / jnp.linalg.norm(p1 - p3)
+    n = -jnp.cross(e1, e3)
+    n = n / jnp.linalg.norm(n)
+    x1 = x - jnp.dot(x - p1, n) * n
+
+    out12 = jnp.dot(jnp.cross(x1 - p1, e1), n) > 0
+    out23 = jnp.dot(jnp.cross(x1 - p2, e2), n) > 0
+    out31 = jnp.dot(jnp.cross(x1 - p3, e3), n) > 0
+
+    d_p1 = jnp.linalg.norm(x - p1)
+    d_p2 = jnp.linalg.norm(x - p2)
+    d_p3 = jnp.linalg.norm(x - p3)
+
+    def edge_proj(a, b, ea):
+        alpha = jnp.dot(x1 - a, ea) / jnp.dot(b - a, ea)
+        xp = a + alpha * (b - a)
+        return alpha, jnp.linalg.norm(x - xp)
+
+    a12, d_e12 = edge_proj(p1, p2, e1)
+    a23, d_e23 = edge_proj(p2, p3, e2)
+    a31, d_e31 = edge_proj(p3, p1, e3)
+
+    # interior barycentrics
+    S = jnp.linalg.norm(jnp.cross(p3 - p1, p2 - p1))
+    w1 = jnp.dot(jnp.cross(p3 - p2, x1 - p2), n) / S
+    w2 = jnp.dot(jnp.cross(p1 - p3, x1 - p3), n) / S
+    w3 = jnp.dot(jnp.cross(p2 - p1, x1 - p1), n) / S
+    d_int = jnp.linalg.norm(x - x1)
+
+    # region 12: vertex p1 / vertex p2 / edge 12
+    in12_p1 = jnp.dot(x1 - p1, e1) < 0
+    in12_p2 = jnp.dot(x1 - p2, e1) > 0
+    c12 = jnp.where(in12_p1, 1, jnp.where(in12_p2, 2, -3))
+    d12 = jnp.where(in12_p1, d_p1, jnp.where(in12_p2, d_p2, d_e12))
+    w12 = jnp.where(
+        in12_p1,
+        jnp.array([1.0, 0.0, 0.0]),
+        jnp.where(
+            in12_p2, jnp.array([0.0, 1.0, 0.0]), jnp.stack([1 - a12, a12, 0.0 * a12])
+        ),
+    )
+    # region 23
+    in23_p2 = jnp.dot(x1 - p2, e2) < 0
+    in23_p3 = jnp.dot(x1 - p3, e2) > 0
+    c23 = jnp.where(in23_p2, 2, jnp.where(in23_p3, 3, -1))
+    d23 = jnp.where(in23_p2, d_p2, jnp.where(in23_p3, d_p3, d_e23))
+    w23 = jnp.where(
+        in23_p2,
+        jnp.array([0.0, 1.0, 0.0]),
+        jnp.where(
+            in23_p3, jnp.array([0.0, 0.0, 1.0]), jnp.stack([0.0 * a23, 1 - a23, a23])
+        ),
+    )
+    # region 31
+    in31_p3 = jnp.dot(x1 - p3, e3) < 0
+    in31_p1 = jnp.dot(x1 - p1, e3) > 0
+    c31 = jnp.where(in31_p3, 3, jnp.where(in31_p1, 1, -2))
+    d31 = jnp.where(in31_p3, d_p3, jnp.where(in31_p1, d_p1, d_e31))
+    w31 = jnp.where(
+        in31_p3,
+        jnp.array([0.0, 0.0, 1.0]),
+        jnp.where(
+            in31_p1, jnp.array([1.0, 0.0, 0.0]), jnp.stack([a31, 0.0 * a31, 1 - a31])
+        ),
+    )
+
+    case = jnp.where(out12, c12, jnp.where(out23, c23, jnp.where(out31, c31, 0)))
+    d = jnp.where(out12, d12, jnp.where(out23, d23, jnp.where(out31, d31, d_int)))
+    w_int = jnp.stack([w1, w2, w3])
+    w = jnp.where(out12, w12, jnp.where(out23, w23, jnp.where(out31, w31, w_int)))
+    return case, d, w
+
+
+def vertex_normals(pos, faces, NV):
+    """Area-weighted vertex normals (reference BaseScene.calc_vn:837-850)."""
+    v1 = pos[faces[:, 0]]
+    n = jnp.cross(pos[faces[:, 1]] - v1, pos[faces[:, 2]] - v1)
+    vn = jnp.zeros((NV, 3), pos.dtype)
+    for k in range(3):
+        vn = vn.at[faces[:, k]].add(n)
+    norm = jnp.linalg.norm(vn, axis=1, keepdims=True)
+    return vn / jnp.maximum(norm, 1e-300)
+
+
+def projection_query(spec: SceneSpec, pos, vn, proj_flag, proj_dir):
+    """For each contact query slot, find the closest source-body face and
+    update latched (proj_flag, proj_dir, proj_idx, proj_w).
+
+    Returns (proj_flag, proj_dir, proj_idx (C,3), proj_w (C,3))."""
+    con = spec.contact
+    faces = spec.faces
+    centroids = (pos[faces[:, 0]] + pos[faces[:, 1]] + pos[faces[:, 2]]) / 3.0
+    K = min(con.top_k, con.max_src_faces)
+    cutoff = 2.0 * spec.grid_h
+
+    def per_query(vid, fstart, nf):
+        x = pos[vid]
+        # candidate face window: static max_src_faces slice starting at fstart
+        fidx = fstart + jnp.arange(con.max_src_faces)
+        valid = jnp.arange(con.max_src_faces) < nf
+        fidx_c = jnp.clip(fidx, 0, faces.shape[0] - 1)
+        cent = centroids[fidx_c]
+        linf = jnp.max(jnp.abs(cent - x[None, :]), axis=1)
+        linf = jnp.where(valid, linf, jnp.inf)
+        # top-K nearest centroids
+        neg = -linf
+        _, top_idx = jax.lax.top_k(neg, K)
+        cand_f = fidx_c[top_idx]
+        cand_ok = (linf[top_idx] < cutoff) & valid[top_idx]
+
+        tri = faces[cand_f]  # (K, 3)
+        p1, p2, p3 = pos[tri[:, 0]], pos[tri[:, 1]], pos[tri[:, 2]]
+        case, d, w = jax.vmap(pt2tri, in_axes=(None, 0, 0, 0))(x, p1, p2, p3)
+        vt = w[:, 0:1] * p1 + w[:, 1:2] * p2 + w[:, 2:3] * p3
+        nt = jnp.cross(p2 - p1, p3 - p1)
+        nt = nt / jnp.maximum(jnp.linalg.norm(nt, axis=1, keepdims=True), 1e-300)
+        cos = jnp.sum((x[None] - vt) * nt, axis=1)
+
+        d = jnp.where(cand_ok, d, jnp.inf)
+        d_min = jnp.min(d)
+        near = d < d_min + 1e-5
+        # tie-break: best-aligned (largest cos) among near-minimal distance
+        score = jnp.where(near, cos, -jnp.inf)
+        best = jnp.argmax(score)
+        found = jnp.isfinite(d_min)
+        return found, tri[best], w[best], cand_f[best]
+
+    found, tri, w, _f = jax.vmap(per_query)(con.cq_vert, con.cq_fstart, con.cq_nf)
+
+    # latched side: set dir at the 0 -> 1 transition of proj_flag
+    v = jnp.einsum("ck,ck...->c...", w, pos[tri])
+    n = jnp.einsum("ck,ck...->c...", w, vn[tri])
+    xq = pos[con.cq_vert]
+    new_dir = (jnp.sum((xq - v) * n, axis=1) > 0).astype(jnp.int32)
+    first = (proj_flag == 0) & found
+    proj_dir = jnp.where(first, new_dir, proj_dir)
+    proj_flag = found.astype(jnp.int32)
+    return proj_flag, proj_dir, tri, w
+
+
+def contact_analysis(
+    spec: SceneSpec, params_mu_pairs, pos, prev_pos, proj_flag, proj_dir, tri, w
+):
+    """Build the fixed-capacity constraint set (reference
+    BaseScene.contact_pair_analysis:778-816)."""
+    con = spec.contact
+    mu = params_mu_pairs[con.cq_mu_id]
+    vid = con.cq_vert
+
+    # orient: if latched dir == 0, flip normal by swapping triangle verts 1,2
+    flip = proj_dir == 0
+    i1 = jnp.where(flip, tri[:, 2], tri[:, 1])
+    i2 = jnp.where(flip, tri[:, 1], tri[:, 2])
+    i0 = tri[:, 0]
+    w1 = jnp.where(flip, w[:, 2], w[:, 1])
+    w2 = jnp.where(flip, w[:, 1], w[:, 2])
+    w0 = w[:, 0]
+    wv = jnp.stack([w0, w1, w2], axis=1)
+    idx = jnp.stack([i0, i1, i2, vid], axis=1)
+
+    n_c = jnp.cross(pos[i1] - pos[i0], pos[i2] - pos[i0])
+    n_c = n_c / jnp.maximum(jnp.linalg.norm(n_c, axis=1, keepdims=True), 1e-300)
+
+    x_c = jnp.einsum("ck,ck...->c...", wv, pos[idx[:, :3]])
+    x0_c = jnp.einsum("ck,ck...->c...", wv, prev_pos[idx[:, :3]])
+    gap = jnp.sum((pos[vid] - x_c) * n_c, axis=1)
+    active = (proj_flag == 1) & (gap < spec.eps_contact)
+
+    pressure_force = spec.k_contact * (gap - spec.eps_contact)
+    k = -mu * pressure_force
+    dx0 = prev_pos[vid] - x0_c
+
+    # tangent frame (reference :804-811; deliberately not orthonormalized)
+    small = jnp.abs(n_c[:, 0]) < 0.5
+    t1 = jnp.where(
+        small[:, None],
+        jnp.stack([n_c[:, 0], n_c[:, 2], -n_c[:, 1]], axis=1),
+        jnp.stack([n_c[:, 1], -n_c[:, 0], n_c[:, 2]], axis=1),
+    )
+    t2 = jnp.cross(n_c, t1)
+    t1 = jnp.cross(n_c, t2)
+    T = jnp.stack([t1, t2], axis=1)  # (C, 2, 3)
+
+    return ContactSet(active=active, idx=idx, w=wv, n=n_c, k=k, mu=mu, dx0=dx0, T=T)
