@@ -518,7 +518,9 @@ def _build_hinges(mesh: topology.ClothMesh, init_pos: np.ndarray):
     NF = mesh.NF
     NH = NF * 3
     hv = np.zeros((NH, 4), np.int32)
-    st = np.zeros((NH, 4), np.int32)
+    # default stencil (1,2,1,2) is valid for the canonical configuration used
+    # to evaluate masked-out hinges (see elements.bending_eval)
+    st = np.tile(np.array([1, 2, 1, 2], np.int32), (NH, 1))
     mask = np.zeros((NH,), bool)
     f2v, cf, cp = mesh.f2v, mesh.counter_face, mesh.counter_point
     for i in range(NF):

@@ -62,11 +62,21 @@ def membrane_eval(spec, params, pos, with_hess: bool, spd: bool):
     return jnp.sum(E), out
 
 
+_CANON_STENCIL = jnp.array(
+    [[0.0, 0.0, 0.0], [1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [-1.0, 1.0, 0.3]]
+)
+
+
 def bending_eval(spec, params, pos, ref_angle, with_hess: bool, spd: bool):
     c = spec.cloth
     x = pos[c.hinge_verts]  # (NH, 4, 3)
-    kb = params.kb[c.hinge_cloth]
+    # inactive hinges have degenerate stencils; evaluate them on a canonical
+    # non-degenerate configuration so NaNs never enter the masked terms
     mask = c.hinge_mask
+    x = jnp.where(
+        mask[:, None, None], x, _CANON_STENCIL.astype(pos.dtype)[None]
+    )
+    kb = params.kb[c.hinge_cloth]
 
     def e_fn(xh, stencil, ref, coef, kb_):
         return en.bending_energy(xh, stencil, ref, coef, kb_)
@@ -182,8 +192,9 @@ def friction_eval(spec, contact: ContactSet, pos, with_hess: bool, spd: bool):
     if with_hess:
         f1p = jnp.where(r > eh, -1.0 / jnp.maximum(r, 1e-300) ** 2, -1.0 / eh**2)
         uu = jnp.einsum("ct,cs->cts", u, u)
-        safe_r = jnp.maximum(r, 1e-300)
-        h = f1[:, None, None] * jnp.eye(2) + (f1p / safe_r)[:, None, None] * uu
+        # reference drops the outer-product term for r <= 1e-9 (BaseScene:659)
+        coef = jnp.where(r > 1e-9, f1p / jnp.maximum(r, 1e-9), 0.0)
+        h = f1[:, None, None] * jnp.eye(2) + coef[:, None, None] * uu
         if spd:
             h = project_psd_2x2(h)
         h1 = k[:, None, None] * jnp.einsum("cti,cts,csj->cij", T, h, T)

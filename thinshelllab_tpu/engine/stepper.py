@@ -106,3 +106,26 @@ def rollout(spec: SceneSpec, params: Params, state: SimState, actions):
 
     final, saved = jax.lax.scan(f, state, actions)
     return final, saved
+
+
+def simulate(spec: SceneSpec, params: Params, state0: SimState, actions):
+    """Run a rollout and return (final_state, buffers) with buffers[t] the
+    state after step t (buffers[0] = initial), matching the reference's
+    trajectory tape layout (analytic_grad pos_buffer)."""
+    final, saved = rollout(spec, params, state0, actions)
+    pos, ref, gpos, grot, gdist, glocal = saved
+
+    def prepend(x0, xs):
+        return jnp.concatenate([x0[None], xs], axis=0)
+
+    buffers = {
+        "pos": prepend(state0.pos, pos),
+        "ref_angle": prepend(state0.ref_angle, ref),
+        "gripper_pos": prepend(state0.gripper.pos, gpos),
+        "gripper_rot": prepend(state0.gripper.rot, grot),
+        "gripper_dist": prepend(state0.gripper.dist, gdist),
+        "pad_local": prepend(state0.gripper.pad_local, glocal),
+        "final_proj_flag": final.proj_flag,
+        "final_proj_dir": final.proj_dir,
+    }
+    return final, buffers
