@@ -1,0 +1,139 @@
+"""Trajectory-gradient validation: adjoint vs finite differences.
+
+The adjoint inherits the reference's deliberate approximations (contact set
+rebuilt at the pre-action state, contact frame/normal held constant, plastic
+0.1 leak), so end-to-end FD agreement is checked directionally with a
+moderate tolerance, while the core IFT solve is checked tightly on a
+single-step problem.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from thinshelllab_tpu.engine import adjoint, stepper
+from thinshelllab_tpu.scenes import folding
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return folding.make(table_n=5, max_newton_iter=30)
+
+
+def make_actions(T, n_part, dz=-0.0004):
+    dpos = np.zeros((T, n_part, 3))
+    dpos[:, :, 2] = dz
+    return (
+        jnp.asarray(dpos),
+        jnp.zeros((T, n_part, 3)),
+        jnp.zeros((T, n_part)),
+    )
+
+
+def run_loss(scene, actions):
+    """L = sum_z of cloth vertices at final step (position-seeded loss)."""
+    _, buffers = stepper.simulate(scene.spec, scene.params, scene.state0, actions)
+    cloth_nv = scene.spec.cloth.NV_per[0]
+    return float(jnp.sum(buffers["pos"][-1, :cloth_nv, 2])), buffers
+
+
+def test_trajectory_gradient_directional(scene):
+    T_steps = 4
+    actions = make_actions(T_steps, scene.n_part)
+    loss0, buffers = run_loss(scene, actions)
+
+    T = T_steps + 1
+    NV = scene.spec.NV
+    NH = scene.spec.cloth.hinge_verts.shape[0]
+    cloth_nv = scene.spec.cloth.NV_per[0]
+    seed_pos = jnp.zeros((T, NV, 3))
+    seed_pos = seed_pos.at[T - 1, :cloth_nv, 2].set(1.0)
+    seed_ar = jnp.zeros((T, NH))
+
+    res = adjoint.backward(scene.spec, scene.params, buffers, seed_pos, seed_ar)
+    gg = np.asarray(res.gripper_grad)  # (T, n_part, 6)
+    assert np.all(np.isfinite(gg))
+    assert np.abs(gg).max() > 0, "gripper grad must be nonzero (pad touches cloth)"
+
+    # directional FD in trajectory space: perturb the step-t z-action of the
+    # gripper. Trajectory waypoint t affects actions t and t+1 (deltas).
+    rng = np.random.default_rng(0)
+    # gradient w.r.t. waypoint traj[t] equals gripper_grad[t] in the
+    # reference convention; actions are waypoint differences. Perturbing
+    # waypoint t by e_z changes action_t by +e and action_{t+1} by -e.
+    t_probe = 2
+    h = 2e-6
+    for sign_dim in [2, 0]:
+        d = np.zeros(3)
+        d[sign_dim] = 1.0
+        dpos = np.asarray(actions[0]).copy()
+        dpos[t_probe - 1, 0] += h * d   # action index t-1 = step t
+        if t_probe < T_steps:
+            dpos[t_probe, 0] -= h * d
+        acts_p = (jnp.asarray(dpos), actions[1], actions[2])
+        loss_p, _ = run_loss(scene, acts_p)
+        dpos_m = np.asarray(actions[0]).copy()
+        dpos_m[t_probe - 1, 0] -= h * d
+        if t_probe < T_steps:
+            dpos_m[t_probe, 0] += h * d
+        acts_m = (jnp.asarray(dpos_m), actions[1], actions[2])
+        loss_m, _ = run_loss(scene, acts_m)
+        fd = (loss_p - loss_m) / (2 * h)
+        # the reference's gather_grad AVERAGES over bound vertices
+        # (gripper_single.py:146); the true rigid-translation derivative is
+        # the sum, so scale by n_bound for comparison
+        scale = scene.spec.gripper.n_bound * (
+            2 if scene.spec.gripper.mode == "paired" else 1
+        )
+        an = float(gg[t_probe, 0, sign_dim]) * scale
+        # moderate tolerance: the adjoint holds contact frames fixed
+        assert np.isfinite(fd)
+        if abs(fd) > 1e-3 or abs(an) > 1e-3:
+            rel = abs(fd - an) / max(abs(fd), abs(an))
+            assert rel < 0.25, (sign_dim, fd, an, rel)
+
+
+def test_single_step_ift_exact(scene):
+    """Tight check of the IFT core: dL/d(frozen pad DOFs) for one step with
+    the contact set held fixed must match FD through the Newton solve."""
+    from thinshelllab_tpu.engine import elements, solver
+    from thinshelllab_tpu.engine.stepper import build_contacts
+
+    spec, params, st = scene.spec, scene.params, scene.state0
+    # take two pre-steps so the pad is in contact
+    act = make_actions(2, scene.n_part, dz=-0.0006)
+    st2, _ = stepper.rollout(spec, params, st, act)
+    pos0 = st2.pos
+    vel = st2.vel
+    ref = st2.ref_angle
+    contact, _, _ = build_contacts(spec, params, pos0, pos0, st2.proj_flag,
+                                   st2.proj_dir)
+    assert int(contact.active.sum()) > 0
+
+    def solve_from(pos_start):
+        return solver.newton_solve(spec, params, pos_start, pos_start, vel,
+                                   ref, contact)
+
+    x_star = solve_from(pos0)
+    cloth_nv = spec.cloth.NV_per[0]
+    L = jnp.zeros_like(x_star).at[:cloth_nv, 2].set(1.0)  # dL/dx
+
+    groups = elements.all_groups(spec, params, x_star, ref, contact,
+                                 with_hess=True, spd=False)
+    z = solver.solve_linear(spec, groups, L)
+    tmp = elements.frozen_column_product(spec, groups, z)
+
+    # FD: move one frozen pad boundary vertex in z, re-solve
+    g = spec.gripper
+    vid = g.pad_offset[0] + int(np.asarray(g.bound_idx)[0])
+    assert bool(spec.frozen[vid, 2])
+    h = 1e-7
+    for dim in (2, 0):
+        e = jnp.zeros_like(pos0).at[vid, dim].set(h)
+        Lp = float(jnp.sum(solve_from(pos0 + e)[:cloth_nv, 2]))
+        Lm = float(jnp.sum(solve_from(pos0 - e)[:cloth_nv, 2]))
+        fd = (Lp - Lm) / (2 * h)
+        an = float(tmp[vid, dim])
+        if abs(fd) > 1e-6 or abs(an) > 1e-6:
+            rel = abs(fd - an) / max(abs(fd), abs(an))
+            assert rel < 5e-2, (dim, fd, an, rel)
