@@ -1,0 +1,92 @@
+"""Benchmark: fwd+bwd simulation step throughput on the ~10k-triangle
+folding/draping scene (BASELINE.json headline metric), on the available
+accelerator.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline: the reference (Taichi CPU kernels + dense-storage SparseMatrix
+with cuSPARSE direct solve) publishes no numbers and cannot run in this
+image (no taichi/cupy). BASELINE.md records the estimate used here:
+REF_STEPS_PER_SEC = 0.5 for a 10k-triangle scene (the reference's
+dense-storage Hessian alone is O((3NV)^2) ~ 2.4 GB at this size; its
+~500-vertex scenes run at seconds/iteration on CPU per the driver prints it
+was instrumented with). The target is 50x => vs_baseline >= 50.
+"""
+import json
+import os
+import sys
+import time
+
+REF_STEPS_PER_SEC = 0.5  # documented estimate, see BASELINE.md
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from thinshelllab_tpu.engine import adjoint, stepper
+    from thinshelllab_tpu.scenes import bench_scene
+
+    cloth_N = int(os.environ.get("BENCH_CLOTH_N", "70"))
+    T = int(os.environ.get("BENCH_STEPS", "8"))
+    dtype = jnp.float32 if os.environ.get("BENCH_DTYPE", "f32") == "f32" else jnp.float64
+
+    sc = bench_scene.make(cloth_N=cloth_N, dtype=dtype)
+    spec, params = sc.spec, sc.params
+    n_tri = 2 * cloth_N * cloth_N
+
+    dpos = np.zeros((T, 1, 3), dtype=np.float64)
+    dpos[:, 0, 2] = -0.0004
+    actions = (
+        jnp.asarray(dpos, dtype),
+        jnp.zeros((T, 1, 3), dtype),
+        jnp.zeros((T, 1), dtype),
+    )
+
+    def fwd_bwd(acts):
+        final, buffers = stepper.simulate(spec, params, sc.state0, acts)
+        seed_pos, seed_ar = sc.seed_loss(buffers)
+        res = adjoint.backward(spec, params, buffers, seed_pos, seed_ar)
+        return res.gripper_grad, buffers["pos"][-1]
+
+    run = jax.jit(fwd_bwd)
+
+    t0 = time.time()
+    gg, last = run(actions)
+    gg.block_until_ready()
+    compile_s = time.time() - t0
+
+    n_rep = int(os.environ.get("BENCH_REPS", "3"))
+    t0 = time.time()
+    for _ in range(n_rep):
+        gg, last = run(actions)
+    gg.block_until_ready()
+    elapsed = (time.time() - t0) / n_rep
+
+    # fwd+bwd "steps": T forward implicit steps + T adjoint steps count as T
+    # combined fwd+bwd steps (the reference metric counts a training step's
+    # forward+backward pass over one frame as one unit)
+    steps_per_sec = T / elapsed
+    finite = bool(np.all(np.isfinite(np.asarray(gg))))
+
+    out = {
+        "metric": f"fwd+bwd sim steps/sec ({n_tri}-tri folding scene, "
+        f"{'f32' if dtype == jnp.float32 else 'f64'}, "
+        f"{jax.devices()[0].platform})",
+        "value": round(steps_per_sec, 4),
+        "unit": "steps/s",
+        "vs_baseline": round(steps_per_sec / REF_STEPS_PER_SEC, 2),
+    }
+    print(json.dumps(out))
+    if not finite:
+        print("WARNING: non-finite gradients in bench run", file=sys.stderr)
+    print(
+        f"# compile {compile_s:.1f}s, run {elapsed:.2f}s for {T} steps, "
+        f"NV={spec.NV}, contacts cap={spec.contact.capacity}",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -16,6 +16,10 @@ from typing import Callable, List, Optional, Tuple
 import jax.numpy as jnp
 import numpy as np
 
+
+def _np_dtype(d):
+    return np.dtype(jnp.zeros((), d).dtype)
+
 from ..utils.quaternion import quat_to_rotmat
 from . import topology
 from .spec import (
@@ -257,12 +261,13 @@ class SceneBuilder:
         for fn in self.frozen_fns:
             fn(self, frozen)
 
+        nd = _np_dtype(d)
         spec = SceneSpec(
-            mass=jnp.asarray(mass, d),
-            gravity=jnp.asarray(gravity, d),
-            ext_force=jnp.zeros((NV, 3), d),
-            frozen=jnp.asarray(frozen),
-            faces=jnp.asarray(faces),
+            mass=np.asarray(mass, nd),
+            gravity=np.asarray(gravity, nd),
+            ext_force=np.zeros((NV, 3), nd),
+            frozen=frozen,
+            faces=faces,
             cloth=cloth,
             neo=neo,
             tact=tact,
@@ -290,11 +295,11 @@ class SceneBuilder:
         NH = cloth.hinge_verts.shape[0]
         C = contact.capacity
         state = SimState(
-            pos=jnp.asarray(pos0, d),
-            vel=jnp.zeros((NV, 3), d),
-            ref_angle=jnp.zeros((NH,), d),
-            proj_flag=jnp.zeros((C,), jnp.int32),
-            proj_dir=jnp.zeros((C,), jnp.int32),
+            pos=np.asarray(pos0, nd),
+            vel=np.zeros((NV, 3), nd),
+            ref_angle=np.zeros((NH,), nd),
+            proj_flag=np.zeros((C,), np.int32),
+            proj_dir=np.zeros((C,), np.int32),
             gripper=gstate,
         )
 
@@ -313,14 +318,14 @@ class SceneBuilder:
                 tact_lam[b.group] = b.E * b.nu / ((1 + b.nu) * (1 - 2 * b.nu))
         cp = np.array(self.cloth_params or [(1000.0, 1000.0, 100.0)])
         params = Params(
-            kl=jnp.asarray(cp[:, 0], d),
-            ka=jnp.asarray(cp[:, 1], d),
-            kb=jnp.asarray(cp[:, 2], d),
-            neo_mu=jnp.asarray(neo_mu, d),
-            neo_lam=jnp.asarray(neo_lam, d),
-            tact_mu=jnp.asarray(tact_mu, d),
-            tact_lam=jnp.asarray(tact_lam, d),
-            mu_pairs=jnp.asarray(np.array(self.mu_init or [0.0]), d),
+            kl=np.asarray(cp[:, 0], nd),
+            ka=np.asarray(cp[:, 1], nd),
+            kb=np.asarray(cp[:, 2], nd),
+            neo_mu=np.asarray(neo_mu, nd),
+            neo_lam=np.asarray(neo_lam, nd),
+            tact_mu=np.asarray(tact_mu, nd),
+            tact_lam=np.asarray(tact_lam, nd),
+            mu_pairs=np.asarray(np.array(self.mu_init or [0.0]), nd),
         )
         return spec, state, params
 
@@ -328,21 +333,21 @@ class SceneBuilder:
 
     def _build_cloth_soup(self, pos0) -> ClothSoup:
         d = self.cfg["dtype"]
+        nd = _np_dtype(d)
         cloths = [b for b in self.bodies if b.kind == "cloth"]
         if not cloths:
-            z = np.zeros
             return ClothSoup(
-                f2v=jnp.zeros((0, 3), jnp.int32),
-                cloth_id=jnp.zeros((0,), jnp.int32),
-                l0=jnp.zeros((0, 3), d),
-                rest_area=jnp.zeros((0,), d),
-                hinge_verts=jnp.zeros((0, 4), jnp.int32),
-                hinge_stencil=jnp.zeros((0, 4), jnp.int32),
-                hinge_mask=jnp.zeros((0,), bool),
-                hinge_coef=jnp.zeros((0,), d),
-                hinge_cloth=jnp.zeros((0,), jnp.int32),
-                counter_face=jnp.zeros((0, 3), jnp.int32),
-                counter_point=jnp.zeros((0, 3), jnp.int32),
+                f2v=np.zeros((0, 3), np.int32),
+                cloth_id=np.zeros((0,), np.int32),
+                l0=np.zeros((0, 3), nd),
+                rest_area=np.zeros((0,), nd),
+                hinge_verts=np.zeros((0, 4), np.int32),
+                hinge_stencil=np.zeros((0, 4), np.int32),
+                hinge_mask=np.zeros((0,), bool),
+                hinge_coef=np.zeros((0,), nd),
+                hinge_cloth=np.zeros((0,), np.int32),
+                counter_face=np.zeros((0, 3), np.int32),
+                counter_point=np.zeros((0, 3), np.int32),
             )
         f2v, cid, l0, area = [], [], [], []
         hv, hstencil, hmask, hcoef, hcloth = [], [], [], [], []
@@ -369,17 +374,17 @@ class SceneBuilder:
             hcloth.append(np.full(m.NF * 3, ci, np.int32))
             face_off += m.NF
         return ClothSoup(
-            f2v=jnp.asarray(np.concatenate(f2v)),
-            cloth_id=jnp.asarray(np.concatenate(cid)),
-            l0=jnp.asarray(np.concatenate(l0), d),
-            rest_area=jnp.asarray(np.concatenate(area), d),
-            hinge_verts=jnp.asarray(np.concatenate(hv)),
-            hinge_stencil=jnp.asarray(np.concatenate(hstencil)),
-            hinge_mask=jnp.asarray(np.concatenate(hmask)),
-            hinge_coef=jnp.asarray(np.concatenate(hcoef), d),
-            hinge_cloth=jnp.asarray(np.concatenate(hcloth)),
-            counter_face=jnp.asarray(np.concatenate(cf_all)),
-            counter_point=jnp.asarray(np.concatenate(cp_all)),
+            f2v=np.concatenate(f2v).astype(np.int32),
+            cloth_id=np.concatenate(cid),
+            l0=np.concatenate(l0).astype(nd),
+            rest_area=np.concatenate(area).astype(nd),
+            hinge_verts=np.concatenate(hv).astype(np.int32),
+            hinge_stencil=np.concatenate(hstencil).astype(np.int32),
+            hinge_mask=np.concatenate(hmask),
+            hinge_coef=np.concatenate(hcoef).astype(nd),
+            hinge_cloth=np.concatenate(hcloth),
+            counter_face=np.concatenate(cf_all).astype(np.int32),
+            counter_point=np.concatenate(cp_all).astype(np.int32),
             n_cloths=len(cloths),
             NV_per=tuple(b.n_verts for b in cloths),
             N=tuple(b.cloth_mesh.N for b in cloths),
@@ -409,18 +414,19 @@ class SceneBuilder:
             # lumped mass (reference init_pos:240-245)
             for i in range(4):
                 np.add.at(mass, t[:, i], W / 4.0 * b.density)
+        nd = _np_dtype(d)
         if not bodies:
             return TetSoup(
-                tets=jnp.zeros((0, 4), jnp.int32),
-                B=jnp.zeros((0, 3, 3), d),
-                W=jnp.zeros((0,), d),
-                group=jnp.zeros((0,), jnp.int32),
+                tets=np.zeros((0, 4), np.int32),
+                B=np.zeros((0, 3, 3), nd),
+                W=np.zeros((0,), nd),
+                group=np.zeros((0,), np.int32),
             )
         return TetSoup(
-            tets=jnp.asarray(np.concatenate(tets)),
-            B=jnp.asarray(np.concatenate(Bs), d),
-            W=jnp.asarray(np.concatenate(Ws), d),
-            group=jnp.asarray(np.concatenate(groups)),
+            tets=np.concatenate(tets).astype(np.int32),
+            B=np.concatenate(Bs).astype(nd),
+            W=np.concatenate(Ws).astype(nd),
+            group=np.concatenate(groups),
         )
 
     def _build_contact(self) -> ContactSpec:
@@ -442,30 +448,47 @@ class SceneBuilder:
             cq_fs = [np.zeros(1, np.int32)]
             cq_nf = [np.zeros(1, np.int32)]
         cq_vert = np.concatenate(cq_vert)
+        cq_pair = np.concatenate(cq_pair)
+        cq_mu = np.concatenate(cq_mu)
+        cq_fs = np.concatenate(cq_fs)
+        cq_nf = np.concatenate(cq_nf)
+        # pad capacity to a multiple of the query chunk (padded slots have
+        # nf=0 so they never produce candidates)
+        chunk = min(512, max(64, 1 << (len(cq_vert) - 1).bit_length() // 1))
+        chunk = min(chunk, len(cq_vert)) or 1
+        pad = (-len(cq_vert)) % chunk
+        if pad:
+            cq_vert = np.concatenate([cq_vert, np.zeros(pad, np.int32)])
+            cq_pair = np.concatenate([cq_pair, np.zeros(pad, np.int32)])
+            cq_mu = np.concatenate([cq_mu, np.zeros(pad, np.int32)])
+            cq_fs = np.concatenate([cq_fs, np.zeros(pad, np.int32)])
+            cq_nf = np.concatenate([cq_nf, np.zeros(pad, np.int32)])
         return ContactSpec(
-            cq_vert=jnp.asarray(cq_vert),
-            cq_pair=jnp.asarray(np.concatenate(cq_pair)),
-            cq_mu_id=jnp.asarray(np.concatenate(cq_mu)),
-            cq_fstart=jnp.asarray(np.concatenate(cq_fs)),
-            cq_nf=jnp.asarray(np.concatenate(cq_nf)),
+            cq_vert=cq_vert,
+            cq_pair=cq_pair,
+            cq_mu_id=cq_mu,
+            cq_fstart=cq_fs,
+            cq_nf=cq_nf,
             n_pairs=max(len(self.pairs), 1),
             capacity=len(cq_vert),
             max_src_faces=max_nf,
             top_k=self.contact_top_k,
+            query_chunk=chunk,
         )
 
     def _build_gripper(self, pos0):
         d = self.cfg["dtype"]
+        nd = _np_dtype(d)
         if self.gripper_cfg is None:
             spec = GripperSpec(
-                bound_idx=jnp.zeros((0,), jnp.int32),
-                pad_rest=jnp.zeros((0, 3), d),
+                bound_idx=np.zeros((0,), np.int32),
+                pad_rest=np.zeros((0, 3), nd),
             )
             state = GripperState(
-                pos=jnp.zeros((0, 3), d),
-                rot=jnp.zeros((0, 4), d),
-                dist=jnp.zeros((0,), d),
-                pad_local=jnp.zeros((0, 0, 3), d),
+                pos=np.zeros((0, 3), nd),
+                rot=np.zeros((0, 4), nd),
+                dist=np.zeros((0,), nd),
+                pad_local=np.zeros((0, 0, 3), nd),
             )
             return spec, state
         cfg = self.gripper_cfg
@@ -482,8 +505,8 @@ class SceneBuilder:
             ]
         )
         spec = GripperSpec(
-            bound_idx=jnp.asarray(bound),
-            pad_rest=jnp.asarray(mesh.rest_pos, d),
+            bound_idx=np.asarray(bound, np.int32),
+            pad_rest=np.asarray(mesh.rest_pos, nd),
             mode=cfg["mode"],
             n_part=n_part,
             n_pads=len(pads),
@@ -495,12 +518,12 @@ class SceneBuilder:
             n_bound=len(bound),
         )
         state = GripperState(
-            pos=jnp.asarray(part_pos, d),
-            rot=jnp.asarray(
-                np.tile(np.array([1.0, 0, 0, 0]), (n_part, 1)), d
+            pos=np.asarray(part_pos, nd),
+            rot=np.asarray(
+                np.tile(np.array([1.0, 0, 0, 0]), (n_part, 1)), nd
             ),
-            dist=jnp.zeros((n_part,), d),
-            pad_local=jnp.asarray(pad_local, d),
+            dist=np.zeros((n_part,), nd),
+            pad_local=np.asarray(pad_local, nd),
         )
         return spec, state
 

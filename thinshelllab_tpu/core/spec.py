@@ -78,6 +78,9 @@ class ContactSpec:
     capacity: int = static_field(default=0)
     max_src_faces: int = static_field(default=0)
     top_k: int = static_field(default=32)
+    # queries are processed in chunks of this size (bounds the transient
+    # (chunk, max_src_faces) broadphase distance matrix)
+    query_chunk: int = static_field(default=512)
 
 
 @pytree_dataclass
@@ -132,6 +135,7 @@ class SceneSpec:
     plastic: bool = static_field(default=False)
     grid_h: float = static_field(default=3e-3)  # broadphase candidate cutoff scale
     solver: str = static_field(default="dense")  # 'dense' | 'cg'
+    spd_method: str = static_field(default="eigh")  # 'eigh' | 'shift'
     cg_tol: float = static_field(default=1e-10)
     cg_max_iter: int = static_field(default=400)
     dtype: Any = static_field(default=jnp.float64)

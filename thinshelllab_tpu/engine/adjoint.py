@@ -100,7 +100,7 @@ def _contact_energy_backprop(spec, contact: ContactSet, pos_t, z):
     wB = jnp.concatenate([-w, jnp.ones((w.shape[0], 1), w.dtype)], axis=1)
     f1p = jnp.where(r > eh, -1.0 / jnp.maximum(r, 1e-300) ** 2, -1.0 / eh**2)
     coef = jnp.where(r > 1e-9, f1p / jnp.maximum(r, 1e-9), 0.0)
-    h = f1[:, None, None] * jnp.eye(2) + coef[:, None, None] * jnp.einsum(
+    h = f1[:, None, None] * jnp.eye(2, dtype=pos_t.dtype) + coef[:, None, None] * jnp.einsum(
         "ct,cs->cts", u, u
     )
     h1 = k[:, None, None] * jnp.einsum("cti,cts,csj->cij", T, h, T)
@@ -155,12 +155,11 @@ def _param_residual_vjp(spec, contact, pos_t, ref_t, z_masked, params):
             dx0=contact.dx0,
             T=contact.T,
         )
-        groups = elements.all_groups(spec, p, pos_t, ref_t, con,
-                                     with_hess=False, spd=False)
-        F = jnp.zeros_like(pos_t)
-        for grp in groups:
-            F = F.at[grp["idx"]].add(grp["g"])
-        return jnp.where(spec.frozen, 0.0, F)
+        fused = elements.all_groups(spec, p, pos_t, ref_t, con,
+                                    with_hess=False, spd=False)
+        Fp = jnp.zeros((spec.NV + 1, 3), pos_t.dtype)
+        Fp = Fp.at[fused["idx"]].add(fused["g"])
+        return jnp.where(jnp.asarray(spec.frozen), 0.0, Fp[: spec.NV])
 
     _, vjp = jax.vjp(residual_of_params, params)
     (pg,) = vjp(-z_masked)

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 
 from ..core.spec import ContactSet, Params, SceneSpec
 from ..ops import energies as en
-from ..ops.spd import project_psd, project_psd_2x2
+from ..ops.spd import project_psd, project_psd_2x2, project_psd_method
 
 # S[j, a] maps vertex index a to tet shape-matrix column j: D[:, j] = x_j - x_3
 _S_TET = jnp.concatenate([jnp.eye(3), -jnp.ones((1, 3))], axis=0)  # (4, 3) [a, j]
@@ -56,7 +56,7 @@ def membrane_eval(spec, params, pos, with_hess: bool, spd: bool):
         H = jnp.transpose(H, (0, 1, 3, 2, 4))
         if spd:
             H9 = H.transpose(0, 1, 3, 2, 4).reshape(-1, 9, 9)
-            H9 = project_psd(H9)
+            H9 = project_psd_method(H9, spec.spd_method)
             H = H9.reshape(-1, 3, 3, 3, 3).transpose(0, 1, 3, 2, 4)
         out["H"] = H
     return jnp.sum(E), out
@@ -93,15 +93,17 @@ def bending_eval(spec, params, pos, ref_angle, with_hess: bool, spd: bool):
         H = jnp.transpose(H, (0, 1, 3, 2, 4)) * m[:, None, None, None, None]
         if spd:
             H12 = H.transpose(0, 1, 3, 2, 4).reshape(-1, 12, 12)
-            H12 = project_psd(H12)
+            H12 = project_psd_method(H12, spec.spd_method)
             H = H12.reshape(-1, 4, 3, 4, 3).transpose(0, 1, 3, 2, 4)
         out["H"] = H
     return E, out
 
 
-def _tet_eval(energy, soup, mu_arr, lam_arr, pos, with_hess: bool, spd: bool):
+def _tet_eval(energy, soup, mu_arr, lam_arr, pos, with_hess: bool, spd: bool,
+              spd_method: str = "eigh"):
     x = pos[soup.tets]  # (T, 4, 3)
-    D = jnp.einsum("aj,tai->tij", _S_TET, x)  # columns x_a - x_3
+    S = _S_TET.astype(pos.dtype)
+    D = jnp.einsum("aj,tai->tij", S, x)  # columns x_a - x_3
     mu = mu_arr[soup.group]
     lam = lam_arr[soup.group]
 
@@ -111,36 +113,38 @@ def _tet_eval(energy, soup, mu_arr, lam_arr, pos, with_hess: bool, spd: bool):
     g_fn = jax.grad(e_fn)
     E = jax.vmap(e_fn)(D, soup.B, soup.W, mu, lam)
     G = jax.vmap(g_fn)(D, soup.B, soup.W, mu, lam)  # (T, 3, 3) dE/dD_ij
-    g = jnp.einsum("tij,aj->tai", G, _S_TET)
+    g = jnp.einsum("tij,aj->tai", G, S)
     out = {"idx": soup.tets, "g": g}
     if with_hess:
         Hd = jax.vmap(jax.jacfwd(g_fn))(D, soup.B, soup.W, mu, lam)  # (T,3,3,3,3)
         if spd:
             H9 = Hd.reshape(-1, 9, 9)
-            H9 = project_psd(H9)
+            H9 = project_psd_method(H9, spd_method)
             Hd = H9.reshape(-1, 3, 3, 3, 3)
-        H = jnp.einsum("tijkl,aj,bl->tabik", Hd, _S_TET, _S_TET)
+        H = jnp.einsum("tijkl,aj,bl->tabik", Hd, S, S)
         out["H"] = H
     return jnp.sum(E), out
 
 
 def neo_eval(spec, params, pos, with_hess, spd):
     return _tet_eval(
-        en.neo_energy, spec.neo, params.neo_mu, params.neo_lam, pos, with_hess, spd
+        en.neo_energy, spec.neo, params.neo_mu, params.neo_lam, pos, with_hess,
+        spd, spec.spd_method,
     )
 
 
 def tact_eval(spec, params, pos, with_hess, spd):
     return _tet_eval(
         en.tactile_energy, spec.tact, params.tact_mu, params.tact_lam, pos,
-        with_hess, spd,
+        with_hess, spd, spec.spd_method,
     )
 
 
 def barrier_eval(spec, contact: ContactSet, pos, with_hess: bool, spd: bool):
     idx = contact.idx
     x = pos[idx]  # (C, 4, 3)
-    R = jnp.einsum("ar,cai->cri", _S_REL, x)  # rows x_{r+1} - x_0
+    SR = _S_REL.astype(pos.dtype)
+    R = jnp.einsum("ar,cai->cri", SR, x)  # rows x_{r+1} - x_0
 
     def e_fn(Rm):
         return en.barrier_energy(Rm, spec.k_contact, spec.eps_contact)
@@ -149,15 +153,15 @@ def barrier_eval(spec, contact: ContactSet, pos, with_hess: bool, spd: bool):
     E = jax.vmap(e_fn)(R)
     G = jax.vmap(g_fn)(R)  # (C, 3, 3)
     m = contact.active.astype(pos.dtype)
-    g = jnp.einsum("cri,ar->cai", G, _S_REL) * m[:, None, None]
+    g = jnp.einsum("cri,ar->cai", G, SR) * m[:, None, None]
     out = {"idx": idx, "g": g}
     if with_hess:
         Hr = jax.vmap(jax.jacfwd(g_fn))(R)  # (C, 3,3,3,3): (r,i,s,k)
         if spd:
             H9 = Hr.reshape(-1, 9, 9)
-            H9 = project_psd(H9)
+            H9 = project_psd_method(H9, spec.spd_method)
             Hr = H9.reshape(-1, 3, 3, 3, 3)
-        H = jnp.einsum("crisk,ar,bs->cabik", Hr, _S_REL, _S_REL)
+        H = jnp.einsum("crisk,ar,bs->cabik", Hr, SR, SR)
         out["H"] = H * m[:, None, None, None, None]
     return jnp.sum(E * m), out
 
@@ -194,7 +198,7 @@ def friction_eval(spec, contact: ContactSet, pos, with_hess: bool, spd: bool):
         uu = jnp.einsum("ct,cs->cts", u, u)
         # reference drops the outer-product term for r <= 1e-9 (BaseScene:659)
         coef = jnp.where(r > 1e-9, f1p / jnp.maximum(r, 1e-9), 0.0)
-        h = f1[:, None, None] * jnp.eye(2) + coef[:, None, None] * uu
+        h = f1[:, None, None] * jnp.eye(2, dtype=pos.dtype) + coef[:, None, None] * uu
         if spd:
             h = project_psd_2x2(h)
         h1 = k[:, None, None] * jnp.einsum("cti,cts,csj->cij", T, h, T)
@@ -222,6 +226,12 @@ def total_energy(spec, params, pos, prev_pos, vel, ref_angle, contact):
 
 
 def all_groups(spec, params, pos, ref_angle, contact, with_hess=True, spd=True):
+    """Evaluate every element soup and fuse into ONE padded block group:
+        idx: (E, 4) int32 (3-vertex elements padded with a ghost vertex NV)
+        g:   (E, 4, 3)
+        H:   (E, 4, 4, 3, 3) when with_hess
+    A single fused group means one gather/scatter per assembly operation --
+    the TPU-friendly layout (scatter-adds dominate the runtime otherwise)."""
     groups = []
     _, gm = membrane_eval(spec, params, pos, with_hess, spd)
     groups.append(gm)
@@ -237,87 +247,125 @@ def all_groups(spec, params, pos, ref_angle, contact, with_hess=True, spd=True):
     groups.append(gc)
     _, gf = friction_eval(spec, contact, pos, with_hess, spd)
     groups.append(gf)
-    return groups
+    return fuse_groups(spec, groups, with_hess)
+
+
+def fuse_groups(spec, groups, with_hess=True):
+    ghost = spec.NV
+    idxs, gs, Hs = [], [], []
+    for g in groups:
+        idx = jnp.asarray(g["idx"])
+        E, k = idx.shape
+        grad = g["g"]
+        if k < 4:
+            pad = 4 - k
+            idx = jnp.concatenate(
+                [idx, jnp.full((E, pad), ghost, idx.dtype)], axis=1
+            )
+            grad = jnp.concatenate(
+                [grad, jnp.zeros((E, pad, 3), grad.dtype)], axis=1
+            )
+            if with_hess:
+                Hb = g["H"]
+                Hb = jnp.pad(Hb, ((0, 0), (0, pad), (0, pad), (0, 0), (0, 0)))
+                Hs.append(Hb)
+        elif with_hess:
+            Hs.append(g["H"])
+        idxs.append(idx)
+        gs.append(grad)
+    fused = {"idx": jnp.concatenate(idxs), "g": jnp.concatenate(gs)}
+    if with_hess:
+        fused["H"] = jnp.concatenate(Hs)
+    return fused
 
 
 # --------------------------------------------------------------------------
-# Assembly
+# Assembly (operates on the fused group)
 # --------------------------------------------------------------------------
 
 
-def assemble_residual(spec, groups, pos, prev_pos, vel):
+def assemble_residual(spec, fused, pos, prev_pos, vel):
     """Global gradient of the incremental potential, with frozen DOFs zeroed
     (reference compute_residual_and_Hessian:976-989 + apply_frozen)."""
     X = pos - prev_pos - vel * spec.dt
-    F = spec.mass[:, None] * X / spec.dt**2
-    F = F - spec.mass[:, None] * spec.gravity - spec.ext_force
-    for g in groups:
-        F = F.at[g["idx"]].add(g["g"])
-    return jnp.where(spec.frozen, 0.0, F)
+    F = jnp.asarray(spec.mass)[:, None] * X / spec.dt**2
+    F = F - jnp.asarray(spec.mass)[:, None] * jnp.asarray(spec.gravity)
+    F = F - jnp.asarray(spec.ext_force)
+    Fp = jnp.concatenate([F, jnp.zeros((1, 3), F.dtype)], axis=0)
+    Fp = Fp.at[fused["idx"]].add(fused["g"])
+    return jnp.where(jnp.asarray(spec.frozen), 0.0, Fp[: spec.NV])
 
 
-def dense_hessian(spec, groups):
+def dense_hessian(spec, fused):
     """Assemble the full (3NV, 3NV) Hessian. Frozen rows/cols of element
     blocks are dropped; the inertia diagonal m/dt^2 is kept for all DOFs
     (matching the reference, where the mass diagonal bypasses add_H)."""
-    n = spec.NV * 3
-    unf = (~spec.frozen).astype(spec.mass.dtype).reshape(-1)  # (3NV,)
-    H = jnp.zeros((n, n), spec.mass.dtype)
-    for g in groups:
-        idx = g["idx"]
-        Hb = g["H"]
-        E, k = idx.shape
-        dof = idx[..., None] * 3 + jnp.arange(3)  # (E, k, 3)
-        rows = dof[:, :, None, :, None]  # (E, k, 1, 3, 1)
-        cols = dof[:, None, :, None, :]  # (E, 1, k, 1, 3)
-        rows = jnp.broadcast_to(rows, Hb.shape)
-        cols = jnp.broadcast_to(cols, Hb.shape)
-        vals = Hb * unf[rows] * unf[cols]
-        H = H.at[rows.reshape(-1), cols.reshape(-1)].add(vals.reshape(-1))
-    diag = jnp.repeat(spec.mass / spec.dt**2, 3)
-    H = H + jnp.diag(diag)
+    n = (spec.NV + 1) * 3
+    md = jnp.asarray(spec.mass)
+    unf = jnp.concatenate(
+        [jnp.asarray(~spec.frozen, md.dtype).reshape(-1), jnp.zeros(3, md.dtype)]
+    )
+    H = jnp.zeros((n, n), md.dtype)
+    idx = fused["idx"]
+    Hb = fused["H"]
+    dof = idx[..., None] * 3 + jnp.arange(3)  # (E, 4, 3)
+    rows = jnp.broadcast_to(dof[:, :, None, :, None], Hb.shape)
+    cols = jnp.broadcast_to(dof[:, None, :, None, :], Hb.shape)
+    vals = Hb * unf[rows] * unf[cols]
+    H = H.at[rows.reshape(-1), cols.reshape(-1)].add(vals.reshape(-1))
+    diag = jnp.repeat(md / spec.dt**2, 3)
+    H = H[: spec.NV * 3, : spec.NV * 3] + jnp.diag(diag)
     return H
 
 
-def hvp(spec, groups, x):
+def hvp(spec, fused, x):
     """Matrix-free H @ x with the same frozen masking as dense_hessian.
     x: (NV, 3) -> (NV, 3)."""
-    unf = (~spec.frozen).astype(x.dtype)
-    y = (spec.mass / spec.dt**2)[:, None] * x
-    xm = x * unf
-    for g in groups:
-        xg = xm[g["idx"]]  # (E, k, 3)
-        contrib = jnp.einsum("eabij,ebj->eai", g["H"], xg)
-        y = y.at[g["idx"]].add(contrib * unf[g["idx"]])
-    return y
+    md = jnp.asarray(spec.mass)
+    unf = jnp.concatenate(
+        [jnp.asarray(~spec.frozen, x.dtype), jnp.zeros((1, 3), x.dtype)]
+    )
+    y = (md / spec.dt**2)[:, None] * x
+    xp = jnp.concatenate([x, jnp.zeros((1, 3), x.dtype)], axis=0) * unf
+    idx = fused["idx"]
+    xg = xp[idx]  # (E, 4, 3)
+    contrib = jnp.einsum("eabij,ebj->eai", fused["H"], xg)
+    yp = jnp.zeros_like(xp)
+    yp = yp.at[idx].add(contrib * unf[idx])
+    return y + yp[: spec.NV]
 
 
-def diag_blocks(spec, groups):
+def diag_blocks(spec, fused):
     """(NV, 3, 3) block diagonal of the assembled Hessian (block-Jacobi)."""
-    unf = (~spec.frozen).astype(spec.mass.dtype)
-    D = jnp.zeros((spec.NV, 3, 3), spec.mass.dtype)
-    eye = jnp.eye(3, dtype=spec.mass.dtype)
-    D = D + (spec.mass / spec.dt**2)[:, None, None] * eye
-    for g in groups:
-        idx = g["idx"]
-        k = idx.shape[1]
-        for a in range(k):
-            blk = g["H"][:, a, a]
-            mask = unf[idx[:, a]]
-            blk = blk * mask[:, :, None] * mask[:, None, :]
-            D = D.at[idx[:, a]].add(blk)
+    md = jnp.asarray(spec.mass)
+    unf = jnp.concatenate(
+        [jnp.asarray(~spec.frozen, md.dtype), jnp.zeros((1, 3), md.dtype)]
+    )
+    eye = jnp.eye(3, dtype=md.dtype)
+    D = jnp.zeros((spec.NV + 1, 3, 3), md.dtype)
+    idx = fused["idx"]
+    for a in range(4):
+        blk = fused["H"][:, a, a]
+        mask = unf[idx[:, a]]
+        blk = blk * mask[:, :, None] * mask[:, None, :]
+        D = D.at[idx[:, a]].add(blk)
+    D = D[: spec.NV] + (md / spec.dt**2)[:, None, None] * eye
     return D
 
 
-def frozen_column_product(spec, groups, z):
+def frozen_column_product(spec, fused, z):
     """tmp_z_frozen[j] = - sum_{i unfrozen} H_ij z_i for frozen DOFs j
     (reference add_H counting path, BaseScene.py:403-405). z: (NV, 3)."""
-    unf = (~spec.frozen).astype(z.dtype)
-    fro = spec.frozen.astype(z.dtype)
-    t = jnp.zeros_like(z)
-    zm = z * unf
-    for g in groups:
-        zg = zm[g["idx"]]  # rows i (unfrozen masked)
-        contrib = jnp.einsum("eabij,eai->ebj", g["H"], zg)
-        t = t.at[g["idx"]].add(-contrib * fro[g["idx"]])
-    return t
+    unf = jnp.concatenate(
+        [jnp.asarray(~spec.frozen, z.dtype), jnp.zeros((1, 3), z.dtype)]
+    )
+    fro = jnp.concatenate(
+        [jnp.asarray(spec.frozen, z.dtype), jnp.zeros((1, 3), z.dtype)]
+    )
+    zp = jnp.concatenate([z, jnp.zeros((1, 3), z.dtype)], axis=0)
+    idx = fused["idx"]
+    zg = zp[idx] * unf[idx]
+    contrib = jnp.einsum("eabij,eai->ebj", fused["H"], zg)
+    tp = jnp.zeros_like(zp)
+    tp = tp.at[idx].add(-contrib * fro[idx])
+    return tp[: spec.NV]

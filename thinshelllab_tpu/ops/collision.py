@@ -38,6 +38,10 @@ def pt2tri(x, p1, p2, p3):
     out23 = jnp.dot(jnp.cross(x1 - p2, e2), n) > 0
     out31 = jnp.dot(jnp.cross(x1 - p3, e3), n) > 0
 
+    dt_ = x.dtype
+    e100 = jnp.array([1.0, 0.0, 0.0], dt_)
+    e010 = jnp.array([0.0, 1.0, 0.0], dt_)
+    e001 = jnp.array([0.0, 0.0, 1.0], dt_)
     d_p1 = jnp.linalg.norm(x - p1)
     d_p2 = jnp.linalg.norm(x - p2)
     d_p3 = jnp.linalg.norm(x - p3)
@@ -65,9 +69,9 @@ def pt2tri(x, p1, p2, p3):
     d12 = jnp.where(in12_p1, d_p1, jnp.where(in12_p2, d_p2, d_e12))
     w12 = jnp.where(
         in12_p1,
-        jnp.array([1.0, 0.0, 0.0]),
+        e100,
         jnp.where(
-            in12_p2, jnp.array([0.0, 1.0, 0.0]), jnp.stack([1 - a12, a12, 0.0 * a12])
+            in12_p2, e010, jnp.stack([1 - a12, a12, 0.0 * a12])
         ),
     )
     # region 23
@@ -77,9 +81,9 @@ def pt2tri(x, p1, p2, p3):
     d23 = jnp.where(in23_p2, d_p2, jnp.where(in23_p3, d_p3, d_e23))
     w23 = jnp.where(
         in23_p2,
-        jnp.array([0.0, 1.0, 0.0]),
+        e010,
         jnp.where(
-            in23_p3, jnp.array([0.0, 0.0, 1.0]), jnp.stack([0.0 * a23, 1 - a23, a23])
+            in23_p3, e001, jnp.stack([0.0 * a23, 1 - a23, a23])
         ),
     )
     # region 31
@@ -89,9 +93,9 @@ def pt2tri(x, p1, p2, p3):
     d31 = jnp.where(in31_p3, d_p3, jnp.where(in31_p1, d_p1, d_e31))
     w31 = jnp.where(
         in31_p3,
-        jnp.array([0.0, 0.0, 1.0]),
+        e001,
         jnp.where(
-            in31_p1, jnp.array([1.0, 0.0, 0.0]), jnp.stack([a31, 0.0 * a31, 1 - a31])
+            in31_p1, e100, jnp.stack([a31, 0.0 * a31, 1 - a31])
         ),
     )
 
@@ -119,7 +123,9 @@ def projection_query(spec: SceneSpec, pos, vn, proj_flag, proj_dir):
 
     Returns (proj_flag, proj_dir, proj_idx (C,3), proj_w (C,3))."""
     con = spec.contact
-    faces = spec.faces
+    # spec leaves are numpy; promote faces since it is gathered with traced
+    # indices below
+    faces = jnp.asarray(spec.faces)
     centroids = (pos[faces[:, 0]] + pos[faces[:, 1]] + pos[faces[:, 2]]) / 3.0
     K = min(con.top_k, con.max_src_faces)
     cutoff = 2.0 * spec.grid_h
@@ -156,7 +162,19 @@ def projection_query(spec: SceneSpec, pos, vn, proj_flag, proj_dir):
         found = jnp.isfinite(d_min)
         return found, tri[best], w[best], cand_f[best]
 
-    found, tri, w, _f = jax.vmap(per_query)(con.cq_vert, con.cq_fstart, con.cq_nf)
+    # chunked map bounds the transient (chunk, max_src_faces) distance matrix
+    C = con.capacity
+    chunk = min(con.query_chunk, C)
+    n_chunks = C // chunk
+    cq_vert = jnp.asarray(con.cq_vert).reshape(n_chunks, chunk)
+    cq_fs = jnp.asarray(con.cq_fstart).reshape(n_chunks, chunk)
+    cq_nf = jnp.asarray(con.cq_nf).reshape(n_chunks, chunk)
+    found, tri, w, _f = jax.lax.map(
+        lambda args: jax.vmap(per_query)(*args), (cq_vert, cq_fs, cq_nf)
+    )
+    found = found.reshape(C)
+    tri = tri.reshape(C, 3)
+    w = w.reshape(C, 3)
 
     # latched side: set dir at the 0 -> 1 transition of proj_flag
     v = jnp.einsum("ck,ck...->c...", w, pos[tri])

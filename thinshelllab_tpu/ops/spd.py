@@ -46,6 +46,31 @@ def project_psd_2x2(H):
     return out
 
 
+def gershgorin_psd(H):
+    """Cheap PSD-ification: H + max(0, -lambda_lb) I with the Gershgorin
+    lower bound lambda_lb = min_i (H_ii - sum_{j!=i} |H_ij|).
+
+    Compile- and runtime-friendly alternative to the eigenvalue clamp for the
+    forward Newton Hessian (the backward pass always uses the exact
+    unprojected Hessian); more conservative than eigh-clamping but keeps the
+    Newton direction a descent direction, which is all the line-searched
+    solver needs."""
+    Hs = 0.5 * (H + jnp.swapaxes(H, -1, -2))
+    k = Hs.shape[-1]
+    diag = jnp.diagonal(Hs, axis1=-2, axis2=-1)
+    offsum = jnp.sum(jnp.abs(Hs), axis=-1) - jnp.abs(diag)
+    lam_lb = jnp.min(diag - offsum, axis=-1)
+    shift = jnp.maximum(0.0, -lam_lb)
+    eye = jnp.eye(k, dtype=H.dtype)
+    return Hs + shift[..., None, None] * eye
+
+
+def project_psd_method(H, method: str):
+    if method == "shift":
+        return gershgorin_psd(H)
+    return project_psd(H)
+
+
 def value_grad_hess(energy_fn, argnum: int = 0):
     """Returns f(x, *a) -> (E, dE/dx, d2E/dx2) for a scalar energy of a
     flattened coordinate vector x. Hessian via forward-over-reverse."""
