@@ -47,7 +47,7 @@ def test_bending_fd():
     x = jnp.array(
         [[0.0, -1.0, 0.1], [0.0, 0.0, 0.0], [1.0, 0.0, 0.0], [1.1, 1.2, 0.4]]
     ) * 0.01
-    stencil = jnp.array([2, 1, 1, 2])  # j cycle (v3, v2, v1); edge v1->v2
+    stencil = jnp.asarray(en.stencil_to_sel(2, 1, 1, 2))  # j cycle (v3,v2,v1); edge v1->v2
     fd_check(lambda xx: en.bending_energy(xx, stencil, 0.1, 3e-5, 100.0), x)
 
 
@@ -57,7 +57,7 @@ def test_bending_fd_flat():
     x = jnp.array(
         [[1.0, 0.0, 0.0], [0.0, 0.0, 0.0], [0.0, 1.0, 0.0], [-1.0, 1.0, 0.0]]
     ) * 0.01
-    stencil = jnp.array([2, 1, 1, 2])
+    stencil = jnp.asarray(en.stencil_to_sel(2, 1, 1, 2))
     g = jax.grad(lambda xx: en.bending_energy(xx, stencil, 0.0, 3e-5, 100.0))(x)
     assert np.all(np.isfinite(np.asarray(g)))
     np.testing.assert_allclose(np.asarray(g), 0.0, atol=1e-12)
@@ -69,7 +69,7 @@ def test_hinge_angle_matches_reference_convention():
     for _ in range(50):
         base = RNG.standard_normal((4, 3))
         x = jnp.asarray(base)
-        stencil = jnp.array([2, 1, 1, 2])
+        stencil = jnp.asarray(en.stencil_to_sel(2, 1, 1, 2))
         theta = en.hinge_angle(x, stencil)
         # reference computation
         n1 = np.cross(base[1] - base[0], base[2] - base[1])

@@ -342,7 +342,7 @@ class SceneBuilder:
                 l0=np.zeros((0, 3), nd),
                 rest_area=np.zeros((0,), nd),
                 hinge_verts=np.zeros((0, 4), np.int32),
-                hinge_stencil=np.zeros((0, 4), np.int32),
+                hinge_sel=np.zeros((0, 4, 4), nd),
                 hinge_mask=np.zeros((0,), bool),
                 hinge_coef=np.zeros((0,), nd),
                 hinge_cloth=np.zeros((0,), np.int32),
@@ -379,7 +379,7 @@ class SceneBuilder:
             l0=np.concatenate(l0).astype(nd),
             rest_area=np.concatenate(area).astype(nd),
             hinge_verts=np.concatenate(hv).astype(np.int32),
-            hinge_stencil=np.concatenate(hstencil).astype(np.int32),
+            hinge_sel=_sel_from_stencils(np.concatenate(hstencil)).astype(nd),
             hinge_mask=np.concatenate(hmask),
             hinge_coef=np.concatenate(hcoef).astype(nd),
             hinge_cloth=np.concatenate(hcloth),
@@ -532,6 +532,14 @@ class SceneBuilder:
     def vrange(self, body: int):
         b = self.bodies[body]
         return b.v_offset, b.v_offset + b.n_verts
+
+
+def _sel_from_stencils(st: np.ndarray) -> np.ndarray:
+    NH = st.shape[0]
+    sel = np.zeros((NH, 4, 4))
+    r = np.arange(NH)[:, None]
+    sel[r, np.arange(4)[None, :], st] = 1.0
+    return sel
 
 
 def _build_hinges(mesh: topology.ClothMesh, init_pos: np.ndarray):

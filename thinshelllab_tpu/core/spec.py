@@ -36,7 +36,7 @@ class ClothSoup:
     rest_area: Any      # (NFc,)
     # hinges: flattened (face, l) pairs, NH = 3 * NFc, raster order
     hinge_verts: Any    # (NH, 4) int32: [v0, v1, v2, v3] stencil
-    hinge_stencil: Any  # (NH, 4) int32: (ja, jb, ea, eb) -- see energies.hinge_angle
+    hinge_sel: Any      # (NH, 4, 4) one-hot selection -- see energies.hinge_angle
     hinge_mask: Any     # (NH,) bool: active hinge (counter_face > face)
     hinge_coef: Any     # (NH,) dx^2 / 3 bending coefficient (without Kb)
     hinge_cloth: Any    # (NH,) int32

@@ -57,9 +57,10 @@ def _hinge_grads(spec, pos):
     x = pos[c.hinge_verts]
     x = jnp.where(c.hinge_mask[:, None, None], x,
                   elements._CANON_STENCIL.astype(pos.dtype)[None])
+    sel = jnp.asarray(c.hinge_sel, pos.dtype)
     th_fn = lambda xh, stc: energies.hinge_angle(xh, stc)
-    theta = jax.vmap(th_fn)(x, c.hinge_stencil)
-    dth = jax.vmap(jax.grad(th_fn))(x, c.hinge_stencil)
+    theta = jax.vmap(th_fn)(x, sel)
+    dth = jax.vmap(jax.grad(th_fn))(x, sel)
     m = c.hinge_mask.astype(pos.dtype)
     return dth * m[:, None, None], theta
 

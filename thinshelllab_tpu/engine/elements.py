@@ -77,19 +77,20 @@ def bending_eval(spec, params, pos, ref_angle, with_hess: bool, spd: bool):
         mask[:, None, None], x, _CANON_STENCIL.astype(pos.dtype)[None]
     )
     kb = params.kb[c.hinge_cloth]
+    sel = jnp.asarray(c.hinge_sel, pos.dtype)
 
-    def e_fn(xh, stencil, ref, coef, kb_):
-        return en.bending_energy(xh, stencil, ref, coef, kb_)
+    def e_fn(xh, sel_, ref, coef, kb_):
+        return en.bending_energy(xh, sel_, ref, coef, kb_)
 
     g_fn = jax.grad(e_fn)
-    E = jax.vmap(e_fn)(x, c.hinge_stencil, ref_angle, c.hinge_coef, kb)
-    g = jax.vmap(g_fn)(x, c.hinge_stencil, ref_angle, c.hinge_coef, kb)
+    E = jax.vmap(e_fn)(x, sel, ref_angle, c.hinge_coef, kb)
+    g = jax.vmap(g_fn)(x, sel, ref_angle, c.hinge_coef, kb)
     m = mask.astype(pos.dtype)
     E = jnp.sum(E * m)
     g = g * m[:, None, None]
     out = {"idx": c.hinge_verts, "g": g}
     if with_hess:
-        H = jax.vmap(jax.jacfwd(g_fn))(x, c.hinge_stencil, ref_angle, c.hinge_coef, kb)
+        H = jax.vmap(jax.jacfwd(g_fn))(x, sel, ref_angle, c.hinge_coef, kb)
         H = jnp.transpose(H, (0, 1, 3, 2, 4)) * m[:, None, None, None, None]
         if spd:
             H12 = H.transpose(0, 1, 3, 2, 4).reshape(-1, 12, 12)

@@ -37,7 +37,8 @@ def update_ref_angle(spec: SceneSpec, pos, ref_angle):
     surface."""
     c = spec.cloth
     x = pos[c.hinge_verts]
-    theta = jax.vmap(energies.hinge_angle)(x, c.hinge_stencil)
+    sel = jnp.asarray(c.hinge_sel, pos.dtype)
+    theta = jax.vmap(energies.hinge_angle)(x, sel)
     k_angle = jnp.asarray(c.k_angle, pos.dtype)[c.hinge_cloth]
     dis = theta - ref_angle
     absd = jnp.abs(dis)

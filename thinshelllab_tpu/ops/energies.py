@@ -51,33 +51,44 @@ def membrane_energy(x, l0, rest_area, kl, ka):
 # --------------------------------------------------------------------------
 
 
-def hinge_angle(x, stencil):
+def hinge_angle(x, sel):
     """x: (4,3) = [v0, v1, v2, v3] hinge stencil.
 
-    `stencil` = (ja, jb, ea, eb): counter-face cycle after v3 visits stencil
-    points ja then jb; the shared edge runs from stencil point ea to eb with
-    orientation fixed at build time so that the sign convention matches the
-    reference (theta < 0 iff n2 . (x_sb - x_v0) < 0,
-    model_fold_offset.py:126-138).
+    `sel` is a (4, 4) one-hot selection matrix whose rows pick, in order,
+    (xa, xb, ea, eb): the counter-face cycle after v3 visits xa then xb, and
+    the shared edge runs ea -> eb with orientation fixed at build time so the
+    sign convention matches the reference (theta < 0 iff
+    n2 . (x_sb - x_v0) < 0, model_fold_offset.py:126-138). One-hot selection
+    (a 4x4 matmul) instead of dynamic indexing keeps the vmapped
+    forward-over-reverse Hessian TPU-friendly.
 
     theta = atan2((n1 x n2) . e_hat, n1 . n2) is the smooth signed dihedral
     angle: exactly equal to the reference's acos + side-sign form but
     differentiable at theta = 0 (the flat state)."""
-    ja, jb, ea, eb = stencil
+    rows = sel @ x  # (4, 3): [xa, xb, x_ea, x_eb]
+    xa, xb, xea, xeb = rows[0], rows[1], rows[2], rows[3]
     n1 = jnp.cross(x[1] - x[0], x[2] - x[1])
     n1 = n1 / jnp.linalg.norm(n1)
-    xa = x[ja]
-    xb = x[jb]
     n2 = jnp.cross(xa - x[3], xb - xa)
     n2 = n2 / jnp.linalg.norm(n2)
-    e = x[eb] - x[ea]
+    e = xeb - xea
     ehat = e / jnp.linalg.norm(e)
     return jnp.arctan2(jnp.dot(jnp.cross(n1, n2), ehat), jnp.dot(n1, n2))
 
 
-def bending_energy(x, stencil, ref_angle, coef, kb):
+def stencil_to_sel(ja, jb, ea, eb, dtype=None):
+    """Build the (4,4) one-hot selection matrix from stencil indices."""
+    import numpy as _np
+
+    sel = _np.zeros((4, 4), dtype or _np.float64)
+    for r, i in enumerate((ja, jb, ea, eb)):
+        sel[r, i] = 1.0
+    return sel
+
+
+def bending_energy(x, sel, ref_angle, coef, kb):
     """coef = dx^2 / 3 (reference model_fold_offset.py:120)."""
-    theta = hinge_angle(x, stencil)
+    theta = hinge_angle(x, sel)
     return kb * (theta - ref_angle) ** 2 * coef
 
 

@@ -50,7 +50,7 @@ def make(cloth_N=70, dtype=jnp.float32, solver="cg", max_newton_iter=8,
     b.set_gripper("single", [pad], [0], [0], np.array([[0.0, 0.0, 0.0085]]))
 
     spec, state0, params = b.build()
-    spec = spec.replace(cg_max_iter=cg_max_iter, cg_tol=cg_tol)
+    spec = spec.replace(cg_max_iter=cg_max_iter, cg_tol=cg_tol, spd_method="shift")
 
     cloth_nv = (N + 1) * (M + 1)
 
