@@ -91,7 +91,7 @@ class TrajOptDriver:
         self.adam_state, new_traj = self.adam.step(
             self.adam_state, jnp.asarray(self.agent.traj), gg
         )
-        self.agent.traj = np.asarray(new_traj)
+        self.agent.traj = np.array(new_traj)  # writable copy (fix_action mutates)
         self.agent.fix_action(self.max_dist)
 
         self.history.append(reward)
