@@ -1,0 +1,56 @@
+"""Rendering/export tests: mesh ops, preview PNG+GIF, Luisa script export."""
+import os
+import tempfile
+
+import numpy as np
+import pytest
+
+from thinshelllab_tpu.render import mesh_ops
+from thinshelllab_tpu.render.engine import Renderer
+from thinshelllab_tpu.scenes import folding
+
+
+def test_thicken_and_subdivide():
+    # single quad sheet
+    verts = np.array([[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0]], float)
+    faces = np.array([[0, 1, 2], [0, 2, 3]])
+    v, f = mesh_ops.thicken_cloth(verts, faces, 0.1)
+    assert len(v) == 8
+    # closed solid: every edge shared by exactly 2 faces
+    assert len(mesh_ops.boundary_loop_edges(f)) == 0
+    v2, f2 = mesh_ops.subdivide(v, f)
+    assert len(f2) == 4 * len(f)
+
+
+def test_export_obj(tmp_path):
+    verts = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], float)
+    faces = np.array([[0, 1, 2]])
+    p = tmp_path / "m.obj"
+    mesh_ops.export_obj(str(p), verts, faces)
+    text = p.read_text()
+    assert "v 0.0" in text and "f 1 2 3" in text
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return folding.make(table_n=4, max_newton_iter=2)
+
+
+def test_preview_render(scene, tmp_path):
+    r = Renderer(scene, "folding", option="Preview", save_dir=str(tmp_path))
+    p = r.render("0", pos=np.asarray(scene.state0.pos))
+    assert os.path.exists(p)
+    r.render("1", pos=np.asarray(scene.state0.pos))
+    gif = r.end_rendering(0)
+    assert gif and os.path.exists(gif)
+
+
+def test_luisa_export(scene, tmp_path):
+    r = Renderer(scene, "folding", option="LuisaScript", save_dir=str(tmp_path))
+    path = r.render("0", pos=np.asarray(scene.state0.pos))
+    assert os.path.exists(path)
+    text = open(path).read()
+    assert "integrator" in text and "camera" in text and "shape" in text
+    # obj models exported
+    assert any(fn.endswith(".obj") for root, _, files in os.walk(tmp_path)
+               for fn in files)
