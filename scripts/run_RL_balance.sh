@@ -1,0 +1,2 @@
+#!/bin/bash
+cd "$(dirname "$0")/.." && python -m thinshelllab_tpu.cli rl --env balancing --timesteps 100000 "$@"

@@ -1,0 +1,2 @@
+#!/bin/bash
+cd "$(dirname "$0")/.." && python -m thinshelllab_tpu.cli cmaes --env balancing --pop_size 8 --iter 10 --tot_step 60 --abs_step 10 "$@"

@@ -1,0 +1,2 @@
+#!/bin/bash
+cd "$(dirname "$0")/.." && python -m thinshelllab_tpu.cli trajopt --env folding --iter 400 --tot_step 50 --lr 3e-5 "$@"

@@ -88,3 +88,15 @@ def test_checkpoint_roundtrip(scene):
                                       np.asarray(scene.state0.pos))
         np.testing.assert_array_equal(np.asarray(st.gripper.rot),
                                       np.asarray(scene.state0.gripper.rot))
+
+
+def test_ppo_trainer_smoke(scene):
+    from thinshelllab_tpu.train.ppo import PPOTrainer
+    from thinshelllab_tpu.train.rl_env import BatchedEnv
+
+    env = BatchedEnv(scene, n_envs=2, time_limit=4)
+    tr = PPOTrainer(env, total_steps=16, horizon=4)
+    tr.train(verbose=False)
+    a = tr.act(env.reset())
+    assert a.shape == (2, scene.n_part * 6)
+    assert np.all(np.isfinite(a))

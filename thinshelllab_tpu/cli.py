@@ -1,0 +1,220 @@
+"""Command-line drivers (reference training/*.py + code/scripts/*.sh).
+
+One argparse CLI with subcommands replaces the reference's per-task driver
+scripts:
+
+  python -m thinshelllab_tpu.cli trajopt --env folding --iter 10 --tot_step 50
+  python -m thinshelllab_tpu.cli cmaes   --env lifting --pop_size 8 --iter 15
+  python -m thinshelllab_tpu.cli dp      --env bouncing --iter 20 --lr 10
+  python -m thinshelllab_tpu.cli rl      --env folding --timesteps 100000
+  python -m thinshelllab_tpu.cli render  --env folding --frames 20
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+
+def _add_common(p):
+    p.add_argument("--env", type=str, default="folding")
+    p.add_argument("--tot_step", type=int, default=50)
+    p.add_argument("--Kb", type=float, default=None)
+    p.add_argument("--mu", type=float, default=None)
+    p.add_argument("--save_dir", type=str, default=None)
+    p.add_argument("--solver", type=str, default="dense")
+    p.add_argument("--f32", action="store_true")
+    p.add_argument("--max_newton_iter", type=int, default=None)
+
+
+def _make_scene(args):
+    import jax.numpy as jnp
+
+    from .scenes import registry
+
+    kwargs = {}
+    if args.Kb is not None:
+        kwargs["kb"] = args.Kb
+    if args.mu is not None:
+        kwargs["mu_cloth_elastic"] = args.mu
+    if args.max_newton_iter is not None:
+        kwargs["max_newton_iter"] = args.max_newton_iter
+    kwargs["solver"] = args.solver
+    if args.f32:
+        kwargs["dtype"] = jnp.float32
+    return registry.make_scene(args.env, **kwargs)
+
+
+def cmd_trajopt(args):
+    from .render.engine import Renderer
+    from .train.trajopt import TrajOptDriver
+
+    scene = _make_scene(args)
+    save_dir = args.save_dir or f"imgs/traj_opt_{args.env}"
+    drv = TrajOptDriver(scene, args.tot_step, lr=args.lr,
+                        max_dist=args.max_dist, save_dir=save_dir)
+    if args.load_traj:
+        drv.agent.load(args.load_traj)
+    renderer = Renderer(scene, args.env, option=args.render_option,
+                        save_dir=save_dir) if args.render_every else None
+    for i in range(args.iter):
+        info = drv.iteration()
+        print(f"iter {i}: reward {info['reward']:.6f} "
+              f"|g| {info['grad_norm']:.4g} t {info['wall_time']:.2f}s",
+              flush=True)
+        if renderer and i % args.render_every == 0:
+            _render_rollout(scene, drv.agent.actions(), renderer, tag=i)
+    print("best reward:", drv.best_reward)
+
+
+def _render_rollout(scene, actions, renderer, tag=0):
+    import jax
+
+    from .engine import stepper
+
+    _, buffers = jax.jit(
+        lambda a: stepper.simulate(scene.spec, scene.params, scene.state0, a)
+    )(actions)
+    pos = np.asarray(buffers["pos"])
+    for t in range(pos.shape[0]):
+        renderer.render(str(t), pos=pos[t])
+    renderer.end_rendering(tag)
+
+
+def cmd_cmaes(args):
+    from .train.cmaes import CMAESDriver
+
+    scene = _make_scene(args)
+    skip = 5 if args.env == "interact" else 0
+    drv = CMAESDriver(scene, args.tot_step, args.abs_step,
+                      pop_size=args.pop_size, sigma=args.sigma,
+                      max_dist=args.max_dist, skip_first=skip)
+    save_dir = args.save_dir or f"data/cmaes_traj_{args.env}"
+    os.makedirs(save_dir, exist_ok=True)
+    for g in range(args.iter):
+        info = drv.generation()
+        print(f"gen {g}: best {info['best_reward']:.4f} "
+              f"mean {info['gen_mean']:.4f}", flush=True)
+        drv.best_agent().save(os.path.join(save_dir, f"traj_{g}.npy"))
+        np.save(os.path.join(save_dir, "plot_data.npy"),
+                np.asarray(drv.history))
+
+
+def cmd_dp(args):
+    import jax.numpy as jnp
+
+    from .train.dp import ParamOptDriver
+
+    scene = _make_scene(args)
+    T = args.tot_step
+    n = scene.n_part
+    if args.load_traj:
+        from .agent.traj_opt import TrajAgent
+
+        agent = TrajAgent(T, n)
+        agent.load(args.load_traj)
+        actions = agent.actions()
+    else:
+        actions = (jnp.zeros((T - 1, n, 3)), jnp.zeros((T - 1, n, 3)),
+                   jnp.zeros((T - 1, n)))
+    drv = ParamOptDriver(scene, actions, lr=args.lr)
+    for i in range(args.iter):
+        info = drv.iteration()
+        print(f"iter {i}: reward {info['reward']:.5f} "
+              f"param {info['param']:.4f} grad {info['grad']:.3g}", flush=True)
+
+
+def cmd_rl(args):
+    from .train.rl_env import Env
+
+    env = Env(sys_name=args.env, time_step=args.tot_step)
+    try:
+        from stable_baselines3 import PPO
+
+        model = PPO("MlpPolicy", env, verbose=1)
+        model.learn(total_timesteps=args.timesteps)
+        model.save(args.save_dir or f"checkpoints/{args.env}")
+    except ImportError:
+        from .train.ppo import PPOTrainer
+        from .train.rl_env import BatchedEnv
+
+        scene = env.scene
+        batched = BatchedEnv(scene, args.n_envs, time_limit=args.tot_step)
+        trainer = PPOTrainer(batched, total_steps=args.timesteps)
+        trainer.train()
+        if args.save_dir:
+            trainer.save(args.save_dir)
+
+
+def cmd_render(args):
+    import jax.numpy as jnp
+
+    from .render.engine import Renderer
+
+    scene = _make_scene(args)
+    renderer = Renderer(scene, args.env, option=args.render_option,
+                        save_dir=args.save_dir or f"imgs/{args.env}")
+    T = args.frames
+    n = scene.n_part
+    actions = (jnp.zeros((T, n, 3)), jnp.zeros((T, n, 3)), jnp.zeros((T, n)))
+    _render_rollout(scene, actions, renderer)
+
+
+def cmd_bench(args):
+    import bench
+
+    bench.main()
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser("thinshelllab_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("trajopt")
+    _add_common(p)
+    p.add_argument("--iter", type=int, default=10)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--max_dist", type=float, default=0.015)
+    p.add_argument("--load_traj", type=str, default=None)
+    p.add_argument("--render_every", type=int, default=0)
+    p.add_argument("--render_option", type=str, default="Preview")
+    p.set_defaults(fn=cmd_trajopt)
+
+    p = sub.add_parser("cmaes")
+    _add_common(p)
+    p.add_argument("--iter", type=int, default=10)
+    p.add_argument("--pop_size", type=int, default=8)
+    p.add_argument("--abs_step", type=int, default=10)
+    p.add_argument("--sigma", type=float, default=1.0)
+    p.add_argument("--max_dist", type=float, default=0.002)
+    p.set_defaults(fn=cmd_cmaes)
+
+    p = sub.add_parser("dp")
+    _add_common(p)
+    p.add_argument("--iter", type=int, default=10)
+    p.add_argument("--lr", type=float, default=1.0)
+    p.add_argument("--load_traj", type=str, default=None)
+    p.set_defaults(fn=cmd_dp)
+
+    p = sub.add_parser("rl")
+    _add_common(p)
+    p.add_argument("--timesteps", type=int, default=100000)
+    p.add_argument("--n_envs", type=int, default=8)
+    p.set_defaults(fn=cmd_rl)
+
+    p = sub.add_parser("render")
+    _add_common(p)
+    p.add_argument("--frames", type=int, default=20)
+    p.add_argument("--render_option", type=str, default="Preview")
+    p.set_defaults(fn=cmd_render)
+
+    p = sub.add_parser("bench")
+    p.set_defaults(fn=cmd_bench)
+
+    args = ap.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()
