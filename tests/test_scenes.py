@@ -41,3 +41,71 @@ def test_scene_forward(name):
 def test_registry_unknown():
     with pytest.raises(KeyError):
         registry.make_scene("nope")
+
+
+def test_native_topology_parity():
+    """Native C topology builders must agree exactly with the Python ones."""
+    import os
+    import numpy as np
+    from thinshelllab_tpu import native
+    from thinshelllab_tpu.core import topology, builder
+
+    if native.get_lib() is None:
+        import pytest
+        pytest.skip("no native lib / compiler")
+
+    # cloth tables
+    N, M = 9, 5
+    nat = native.cloth_mesh_tables(N, M)
+    os.environ["TSL_NO_NATIVE"] = "1"
+    try:
+        native._tried = False
+        native._lib = None
+        py = topology.build_cloth_mesh(N, M)
+    finally:
+        del os.environ["TSL_NO_NATIVE"]
+        native._tried = False
+        native._lib = None
+    np.testing.assert_array_equal(nat[0], py.f2v)
+    np.testing.assert_array_equal(nat[1], py.counter_face)
+    np.testing.assert_array_equal(nat[2], py.counter_point)
+    np.testing.assert_array_equal(nat[3], py.indices)
+
+    # hinges
+    rng = np.random.default_rng(0)
+    pos = rng.normal(size=(py.NV, 3)) * 0.01
+    hv_n, st_n, m_n = native.build_hinges(py.f2v, py.counter_face,
+                                          py.counter_point, pos)
+    hv_p, st_p, m_p = builder._build_hinges.__wrapped__(py, pos) if hasattr(
+        builder._build_hinges, "__wrapped__") else _py_hinges(py, pos)
+    np.testing.assert_array_equal(hv_n, hv_p)
+    np.testing.assert_array_equal(st_n, st_p)
+    np.testing.assert_array_equal(m_n, m_p)
+
+    # cube tets
+    t_n = native.cube_tets(4, 3, 2)
+    os.environ["TSL_NO_NATIVE"] = "1"
+    try:
+        native._tried = False
+        native._lib = None
+        mesh = topology.build_cube_tet_mesh(4, 3, 2, 0.03)
+    finally:
+        del os.environ["TSL_NO_NATIVE"]
+        native._tried = False
+        native._lib = None
+    np.testing.assert_array_equal(t_n, mesh.tets)
+
+
+def _py_hinges(mesh, pos):
+    import os
+    from thinshelllab_tpu import native
+    from thinshelllab_tpu.core import builder
+    os.environ["TSL_NO_NATIVE"] = "1"
+    try:
+        native._tried = False
+        native._lib = None
+        return builder._build_hinges(mesh, pos)
+    finally:
+        del os.environ["TSL_NO_NATIVE"]
+        native._tried = False
+        native._lib = None

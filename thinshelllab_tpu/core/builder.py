@@ -546,6 +546,12 @@ def _build_hinges(mesh: topology.ClothMesh, init_pos: np.ndarray):
     """Build the hinge soup for one cloth: stencils [v0,v1,v2,v3], the
     counter-face cycle order, and the signed-edge orientation that fixes the
     reference's angle-sign convention (see energies.hinge_angle)."""
+    from .. import native
+
+    nat = native.build_hinges(mesh.f2v, mesh.counter_face, mesh.counter_point,
+                              init_pos)
+    if nat is not None:
+        return nat
     NF = mesh.NF
     NH = NF * 3
     hv = np.zeros((NH, 4), np.int32)

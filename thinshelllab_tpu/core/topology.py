@@ -47,6 +47,19 @@ class ClothMesh:
 def build_cloth_mesh(N: int, M: int, exact_adjacency: bool = False) -> ClothMesh:
     NV = (N + 1) * (M + 1)
     NF = 2 * N * M
+    if not exact_adjacency:
+        from .. import native
+
+        tables = native.cloth_mesh_tables(N, M)
+        if tables is not None:
+            f2v, cf, cp, indices = tables
+            uv = np.zeros((NV, 2))
+            ii, jj = np.meshgrid(np.arange(N + 1), np.arange(M + 1),
+                                 indexing="ij")
+            uv[:, 0] = (1.0 - jj / M).ravel()
+            uv[:, 1] = (ii / N).ravel()
+            hinge_mask = cf > np.arange(NF)[:, None]
+            return ClothMesh(N, M, NV, NF, f2v, cf, cp, hinge_mask, indices, uv)
     f2v = np.zeros((NF, 3), dtype=np.int32)
     # Taichi zero-initializes fields; the reference relies on that for slots
     # it never writes (odd-quad slot 0), so start at 0 rather than -1.
@@ -152,6 +165,13 @@ def build_cube_tet_mesh(nx: int, ny: int, nz: int, length: float) -> TetMesh:
 
     gx, gy, gz = np.meshgrid(np.arange(nx), np.arange(ny), np.arange(nz), indexing="ij")
     rest = np.stack([gx, gy, gz], axis=-1).reshape(-1, 3).astype(np.float64) * dx
+
+    from .. import native
+
+    nt = native.cube_tets(nx, ny, nz)
+    if nt is not None:
+        surfaces = _extract_cube_surface(nt, rest, n_cube)
+        return TetMesh(n_verts, len(nt), len(surfaces), rest, nt, surfaces)
 
     tets = []
     corner_sets = [(j, j ^ 1, j ^ 2, j ^ 4) for j in (0, 3, 5, 6)] + [(1, 2, 4, 7)]
