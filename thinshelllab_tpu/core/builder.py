@@ -91,7 +91,7 @@ class SceneBuilder:
         self.gravity = np.asarray(gravity, np.float64)
         self.contact_top_k = contact_top_k
         self.bodies: List[_Body] = []
-        self.pairs: List[Tuple[int, int, int]] = []  # (src_body, tgt_body, mu_slot)
+        self.pairs: List[Tuple[int, int, int, bool]] = []  # (src, tgt, mu_slot, self)
         self.mu_init: List[float] = []
         self.frozen_fns: List[Callable] = []
         self.gripper_cfg = None
@@ -206,7 +206,13 @@ class SceneBuilder:
     def add_contact_pair(self, src_body: int, tgt_body: int, mu_slot: int):
         """Project tgt_body's vertices onto src_body's faces with friction
         params.mu_pairs[mu_slot]."""
-        self.pairs.append((src_body, tgt_body, mu_slot))
+        self.pairs.append((src_body, tgt_body, mu_slot, False))
+
+    def add_self_contact_pair(self, body: int, mu_slot: int):
+        """Self-contact: project the body's vertices onto its own faces
+        (skipping incident faces; face-interior projections only) --
+        reference engine/geometry_self.projection_query(self_contact=...)."""
+        self.pairs.append((body, body, mu_slot, True))
 
     def new_mu_slot(self, mu: float) -> int:
         self.mu_init.append(mu)
@@ -430,9 +436,9 @@ class SceneBuilder:
         )
 
     def _build_contact(self) -> ContactSpec:
-        cq_vert, cq_pair, cq_mu, cq_fs, cq_nf = [], [], [], [], []
+        cq_vert, cq_pair, cq_mu, cq_fs, cq_nf, cq_self = [], [], [], [], [], []
         max_nf = 1
-        for pi, (src, tgt, mu_slot) in enumerate(self.pairs):
+        for pi, (src, tgt, mu_slot, is_self) in enumerate(self.pairs):
             sb, tb = self.bodies[src], self.bodies[tgt]
             verts = np.arange(tb.v_offset, tb.v_offset + tb.n_verts, dtype=np.int32)
             cq_vert.append(verts)
@@ -440,6 +446,7 @@ class SceneBuilder:
             cq_mu.append(np.full(len(verts), mu_slot, np.int32))
             cq_fs.append(np.full(len(verts), sb.f_offset, np.int32))
             cq_nf.append(np.full(len(verts), sb.n_faces, np.int32))
+            cq_self.append(np.full(len(verts), is_self, bool))
             max_nf = max(max_nf, sb.n_faces)
         if not self.pairs:
             cq_vert = [np.zeros(1, np.int32)]
@@ -447,11 +454,13 @@ class SceneBuilder:
             cq_mu = [np.zeros(1, np.int32)]
             cq_fs = [np.zeros(1, np.int32)]
             cq_nf = [np.zeros(1, np.int32)]
+            cq_self = [np.zeros(1, bool)]
         cq_vert = np.concatenate(cq_vert)
         cq_pair = np.concatenate(cq_pair)
         cq_mu = np.concatenate(cq_mu)
         cq_fs = np.concatenate(cq_fs)
         cq_nf = np.concatenate(cq_nf)
+        cq_self = np.concatenate(cq_self)
         # pad capacity to a multiple of the query chunk (padded slots have
         # nf=0 so they never produce candidates)
         chunk = min(512, max(64, 1 << (len(cq_vert) - 1).bit_length() // 1))
@@ -463,12 +472,14 @@ class SceneBuilder:
             cq_mu = np.concatenate([cq_mu, np.zeros(pad, np.int32)])
             cq_fs = np.concatenate([cq_fs, np.zeros(pad, np.int32)])
             cq_nf = np.concatenate([cq_nf, np.zeros(pad, np.int32)])
+            cq_self = np.concatenate([cq_self, np.zeros(pad, bool)])
         return ContactSpec(
             cq_vert=cq_vert,
             cq_pair=cq_pair,
             cq_mu_id=cq_mu,
             cq_fstart=cq_fs,
             cq_nf=cq_nf,
+            cq_self=cq_self,
             n_pairs=max(len(self.pairs), 1),
             capacity=len(cq_vert),
             max_src_faces=max_nf,

@@ -74,6 +74,9 @@ class ContactSpec:
     cq_mu_id: Any   # (C,) int32 index into params.mu_pairs
     cq_fstart: Any  # (C,) int32 first face of the source body
     cq_nf: Any      # (C,) int32 number of faces of the source body
+    cq_self: Any    # (C,) bool: self-contact query (same body; skips faces
+                    # containing the query vertex, face-interior only --
+                    # reference engine/geometry_self.py:166-298)
     n_pairs: int = static_field(default=0)
     capacity: int = static_field(default=0)
     max_src_faces: int = static_field(default=0)

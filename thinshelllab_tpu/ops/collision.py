@@ -130,7 +130,7 @@ def projection_query(spec: SceneSpec, pos, vn, proj_flag, proj_dir):
     K = min(con.top_k, con.max_src_faces)
     cutoff = 2.0 * spec.grid_h
 
-    def per_query(vid, fstart, nf):
+    def per_query(vid, fstart, nf, is_self):
         x = pos[vid]
         # candidate face window: static max_src_faces slice starting at fstart
         fidx = fstart + jnp.arange(con.max_src_faces)
@@ -146,6 +146,9 @@ def projection_query(spec: SceneSpec, pos, vn, proj_flag, proj_dir):
         cand_ok = (linf[top_idx] < cutoff) & valid[top_idx]
 
         tri = faces[cand_f]  # (K, 3)
+        # self-contact: skip faces incident to the query vertex
+        incident = jnp.any(tri == vid, axis=1)
+        cand_ok = cand_ok & ~(is_self & incident)
         p1, p2, p3 = pos[tri[:, 0]], pos[tri[:, 1]], pos[tri[:, 2]]
         case, d, w = jax.vmap(pt2tri, in_axes=(None, 0, 0, 0))(x, p1, p2, p3)
         vt = w[:, 0:1] * p1 + w[:, 1:2] * p2 + w[:, 2:3] * p3
@@ -160,6 +163,9 @@ def projection_query(spec: SceneSpec, pos, vn, proj_flag, proj_dir):
         score = jnp.where(near, cos, -jnp.inf)
         best = jnp.argmax(score)
         found = jnp.isfinite(d_min)
+        # self-contact accepts only face-interior projections
+        # (geometry_self.project_pair_self:166-230)
+        found = found & (~is_self | (case[best] == 0))
         return found, tri[best], w[best], cand_f[best]
 
     # chunked map bounds the transient (chunk, max_src_faces) distance matrix
@@ -169,8 +175,10 @@ def projection_query(spec: SceneSpec, pos, vn, proj_flag, proj_dir):
     cq_vert = jnp.asarray(con.cq_vert).reshape(n_chunks, chunk)
     cq_fs = jnp.asarray(con.cq_fstart).reshape(n_chunks, chunk)
     cq_nf = jnp.asarray(con.cq_nf).reshape(n_chunks, chunk)
+    cq_self = jnp.asarray(con.cq_self).reshape(n_chunks, chunk)
     found, tri, w, _f = jax.lax.map(
-        lambda args: jax.vmap(per_query)(*args), (cq_vert, cq_fs, cq_nf)
+        lambda args: jax.vmap(per_query)(*args),
+        (cq_vert, cq_fs, cq_nf, cq_self),
     )
     found = found.reshape(C)
     tri = tri.reshape(C, 3)
