@@ -31,8 +31,9 @@ def make(cloth_N=70, dtype=jnp.float32, solver="cg", max_newton_iter=8,
     )
     cloth_pos = cloth_init.grid_flat(N, M, dx, -0.05, -0.05, 0.0006)
     cloth = b.add_cloth(N, M, size, rho=40.0, init_pos=cloth_pos)
+    table_dx = 0.12 / (table_n - 1)
     table = b.add_cube_elastic(table_n, table_n, 2, 0.12,
-                               (-0.06, -0.06, -0.0125), E=5e5, nu=0.0)
+                               (-0.06, -0.06, -table_dx), E=5e5, nu=0.0)
     pad = b.add_tactile((0.0, 0.0, 0.0085), flip=True, ratio=0.5)
 
     mu = b.new_mu_slot(1.0)

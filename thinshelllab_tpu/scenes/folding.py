@@ -36,8 +36,11 @@ def make(cloth_size=0.1, kb=400.0, mu_cloth_elastic=5.0, curve7=1.0,
     cloth_pos = cloth_init.grid_fold(N, M, dx, -0.07, -0.01, 0.0004, 2)
     cloth = b.add_cloth(N, M, cloth_size, rho=40.0, init_pos=cloth_pos,
                         kl=1000.0, ka=1000.0, kb=kb, k_angle=0.5)
+    # table top sits at z = 0: the z-offset is -dx of the lattice
+    # (reference offset -0.00875 = -0.07/8 for the 9x9x2 table)
+    table_dx = 0.07 / (table_n - 1)
     table = b.add_cube_elastic(table_n, table_n, 2, 0.07,
-                               (-0.035, -0.035, -0.00875), E=5e5, nu=0.0)
+                               (-0.035, -0.035, -table_dx), E=5e5, nu=0.0)
     r = cloth_init.fold_radius(dx, 2)
     x = -0.07 + (7 + 2) / 16 * 0.1 - r * 0.86 + 0.005
     pad = b.add_tactile((x, 0.0, 2 * r + 0.0079), flip=True, ratio=0.5)
