@@ -1,0 +1,58 @@
+"""Multi-device tests on the virtual 8-device CPU mesh: sharded population
+evaluation, distributed training step, and the driver entry contracts."""
+import importlib.util
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from thinshelllab_tpu.parallel import mesh as pmesh
+from thinshelllab_tpu.scenes import folding
+from thinshelllab_tpu.train.cmaes import CMAESDriver
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return folding.make(table_n=4, max_newton_iter=2)
+
+
+def test_mesh_has_8_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_population_rewards(scene):
+    m = pmesh.make_mesh(8)
+    B, T = 8, 2
+    acts = (
+        jnp.zeros((B, T, 1, 3)),
+        jnp.zeros((B, T, 1, 3)),
+        jnp.zeros((B, T, 1)),
+    )
+    rewards = pmesh.sharded_population_rewards(
+        m, scene.spec, scene.params, scene.state0, acts,
+        scene.rewards["default"],
+    )
+    assert rewards.shape == (B,)
+    assert np.all(np.isfinite(np.asarray(rewards)))
+
+
+def test_cmaes_driver_with_mesh(scene):
+    m = pmesh.make_mesh(8)
+    drv = CMAESDriver(scene, tot_timestep=2, abs_step=2, pop_size=8, mesh=m)
+    info = drv.generation()
+    assert np.isfinite(info["best_reward"])
+
+
+def test_graft_entry_contract():
+    spec = importlib.util.spec_from_file_location(
+        "graft", os.path.join(os.path.dirname(__file__), "..",
+                              "__graft_entry__.py")
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    fn, args = m.entry()
+    out = jax.jit(fn)(*args)
+    assert np.all(np.isfinite(np.asarray(out)))
+    m.dryrun_multichip(8)

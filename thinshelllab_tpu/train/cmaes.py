@@ -149,6 +149,7 @@ class CMAESDriver:
     max_dist: float = 0.002
     seed: int = 0
     skip_first: int = 0
+    mesh: object = None  # jax.sharding.Mesh: shard the population over chips
 
     def __post_init__(self):
         n_part = self.scene.n_part
@@ -200,7 +201,24 @@ class CMAESDriver:
             reward = reward + jnp.where(early, 0.0, task_reward + 5.0)
             return reward
 
-        self._batch_eval = jax.jit(jax.vmap(eval_one))
+        if self.mesh is not None:
+            # shard the population over the device mesh; rewards gather back
+            from jax.sharding import PartitionSpec as P
+
+            axis = self.mesh.axis_names[0]
+            self._batch_eval = jax.jit(
+                jax.shard_map(
+                    lambda a, b, c: jax.vmap(eval_one)((a, b, c)),
+                    mesh=self.mesh,
+                    in_specs=(P(axis), P(axis), P(axis)),
+                    out_specs=P(axis),
+                    check_vma=False,
+                )
+            )
+            self._batch_eval_packed = False
+        else:
+            self._batch_eval = jax.jit(jax.vmap(eval_one))
+            self._batch_eval_packed = True
         self.history = []
 
     def _genomes_to_actions(self, X):
@@ -214,7 +232,10 @@ class CMAESDriver:
     def generation(self):
         X = self.es.ask()
         actions = self._genomes_to_actions(X)
-        rewards = np.asarray(self._batch_eval(actions))
+        if self._batch_eval_packed:
+            rewards = np.asarray(self._batch_eval(actions))
+        else:
+            rewards = np.asarray(self._batch_eval(*actions))
         self.es.tell(X, -rewards)
         self.history.extend((-rewards).tolist())
         return {
