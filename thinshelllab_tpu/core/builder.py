@@ -437,10 +437,15 @@ class SceneBuilder:
 
     def _build_contact(self) -> ContactSpec:
         cq_vert, cq_pair, cq_mu, cq_fs, cq_nf, cq_self = [], [], [], [], [], []
+        pair_desc = []
         max_nf = 1
+        cq_start = 0
         for pi, (src, tgt, mu_slot, is_self) in enumerate(self.pairs):
             sb, tb = self.bodies[src], self.bodies[tgt]
             verts = np.arange(tb.v_offset, tb.v_offset + tb.n_verts, dtype=np.int32)
+            pair_desc.append((cq_start, tb.n_verts, sb.f_offset, sb.n_faces,
+                              bool(is_self)))
+            cq_start += tb.n_verts
             cq_vert.append(verts)
             cq_pair.append(np.full(len(verts), pi, np.int32))
             cq_mu.append(np.full(len(verts), mu_slot, np.int32))
@@ -485,6 +490,7 @@ class SceneBuilder:
             max_src_faces=max_nf,
             top_k=self.contact_top_k,
             query_chunk=chunk,
+            pair_desc=tuple(pair_desc),
         )
 
     def _build_gripper(self, pos0):

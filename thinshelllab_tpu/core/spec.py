@@ -84,6 +84,10 @@ class ContactSpec:
     # queries are processed in chunks of this size (bounds the transient
     # (chunk, max_src_faces) broadphase distance matrix)
     query_chunk: int = static_field(default=512)
+    # static per-pair descriptors: (cq_start, cq_count, f_start, n_faces,
+    # is_self) -- lets the broadphase sweep each pair against only its own
+    # source faces instead of a padded max
+    pair_desc: Tuple = static_field(default=())
 
 
 @pytree_dataclass

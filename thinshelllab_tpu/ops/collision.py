@@ -121,73 +121,102 @@ def projection_query(spec: SceneSpec, pos, vn, proj_flag, proj_dir):
     """For each contact query slot, find the closest source-body face and
     update latched (proj_flag, proj_dir, proj_idx, proj_w).
 
+    Swept per contact pair with static shapes: each pair's target vertices
+    compute an L-inf centroid distance matrix against ONLY that pair's
+    source faces (chunked to bound transients), take the top-K nearest, and
+    run the exact point-triangle classification on the K candidates.
+
     Returns (proj_flag, proj_dir, proj_idx (C,3), proj_w (C,3))."""
     con = spec.contact
     # spec leaves are numpy; promote faces since it is gathered with traced
     # indices below
     faces = jnp.asarray(spec.faces)
     centroids = (pos[faces[:, 0]] + pos[faces[:, 1]] + pos[faces[:, 2]]) / 3.0
-    K = min(con.top_k, con.max_src_faces)
     cutoff = 2.0 * spec.grid_h
+    max_elems = 32 * 1024 * 1024  # bound the (chunk, nf) distance matrix
 
-    def per_query(vid, fstart, nf, is_self):
-        x = pos[vid]
-        # candidate face window: static max_src_faces slice starting at fstart
-        fidx = fstart + jnp.arange(con.max_src_faces)
-        valid = jnp.arange(con.max_src_faces) < nf
-        fidx_c = jnp.clip(fidx, 0, faces.shape[0] - 1)
-        cent = centroids[fidx_c]
-        linf = jnp.max(jnp.abs(cent - x[None, :]), axis=1)
-        linf = jnp.where(valid, linf, jnp.inf)
-        # top-K nearest centroids
-        neg = -linf
-        _, top_idx = jax.lax.top_k(neg, K)
-        cand_f = fidx_c[top_idx]
-        cand_ok = (linf[top_idx] < cutoff) & valid[top_idx]
-
-        tri = faces[cand_f]  # (K, 3)
-        # self-contact: skip faces incident to the query vertex
-        incident = jnp.any(tri == vid, axis=1)
-        cand_ok = cand_ok & ~(is_self & incident)
-        p1, p2, p3 = pos[tri[:, 0]], pos[tri[:, 1]], pos[tri[:, 2]]
-        case, d, w = jax.vmap(pt2tri, in_axes=(None, 0, 0, 0))(x, p1, p2, p3)
-        vt = w[:, 0:1] * p1 + w[:, 1:2] * p2 + w[:, 2:3] * p3
+    def detail(vid, cand_f, cand_ok, is_self):
+        """Exact evaluation of K candidates for a batch of queries.
+        vid: (c,), cand_f: (c, K), cand_ok: (c, K)."""
+        x = pos[vid]  # (c, 3)
+        tri = faces[cand_f]  # (c, K, 3)
+        if is_self:
+            incident = jnp.any(tri == vid[:, None, None], axis=2)
+            cand_ok = cand_ok & ~incident
+        p1, p2, p3 = pos[tri[..., 0]], pos[tri[..., 1]], pos[tri[..., 2]]
+        case, d, w = jax.vmap(jax.vmap(pt2tri, in_axes=(None, 0, 0, 0)))(
+            x, p1, p2, p3
+        )
+        vt = w[..., 0:1] * p1 + w[..., 1:2] * p2 + w[..., 2:3] * p3
         nt = jnp.cross(p2 - p1, p3 - p1)
-        nt = nt / jnp.maximum(jnp.linalg.norm(nt, axis=1, keepdims=True), 1e-300)
-        cos = jnp.sum((x[None] - vt) * nt, axis=1)
-
+        nt = nt / jnp.maximum(jnp.linalg.norm(nt, axis=-1, keepdims=True),
+                              1e-300)
+        cos = jnp.sum((x[:, None] - vt) * nt, axis=-1)
         d = jnp.where(cand_ok, d, jnp.inf)
-        d_min = jnp.min(d)
+        d_min = jnp.min(d, axis=1, keepdims=True)
         near = d < d_min + 1e-5
-        # tie-break: best-aligned (largest cos) among near-minimal distance
         score = jnp.where(near, cos, -jnp.inf)
-        best = jnp.argmax(score)
-        found = jnp.isfinite(d_min)
-        # self-contact accepts only face-interior projections
-        # (geometry_self.project_pair_self:166-230)
-        found = found & (~is_self | (case[best] == 0))
-        return found, tri[best], w[best], cand_f[best]
+        best = jnp.argmax(score, axis=1)
+        rows = jnp.arange(vid.shape[0])
+        found = jnp.isfinite(d_min[:, 0])
+        if is_self:
+            # self-contact accepts only face-interior projections
+            # (geometry_self.project_pair_self:166-230)
+            found = found & (case[rows, best] == 0)
+        return found, tri[rows, best], w[rows, best]
 
-    # chunked map bounds the transient (chunk, max_src_faces) distance matrix
     C = con.capacity
-    chunk = min(con.query_chunk, C)
-    n_chunks = C // chunk
-    cq_vert = jnp.asarray(con.cq_vert).reshape(n_chunks, chunk)
-    cq_fs = jnp.asarray(con.cq_fstart).reshape(n_chunks, chunk)
-    cq_nf = jnp.asarray(con.cq_nf).reshape(n_chunks, chunk)
-    cq_self = jnp.asarray(con.cq_self).reshape(n_chunks, chunk)
-    found, tri, w, _f = jax.lax.map(
-        lambda args: jax.vmap(per_query)(*args),
-        (cq_vert, cq_fs, cq_nf, cq_self),
+    found = jnp.zeros((C,), bool)
+    # default to a real (non-degenerate) triangle so inactive slots never
+    # produce NaNs through the masked barrier/friction evaluations
+    tri_out = jnp.broadcast_to(faces[-1], (C, 3)).astype(jnp.int32)
+    w_out = jnp.broadcast_to(
+        jnp.array([1.0, 0.0, 0.0], pos.dtype), (C, 3)
     )
-    found = found.reshape(C)
-    tri = tri.reshape(C, 3)
-    w = w.reshape(C, 3)
+
+    for (cq_start, count, f_start, nf, is_self) in spec.contact.pair_desc:
+        vids_np = con.cq_vert[cq_start : cq_start + count]
+        K = min(con.top_k, nf)
+        cent = centroids[f_start : f_start + nf]  # (nf, 3) static slice
+        chunk = max(1, min(count, max(1, max_elems // max(nf, 1))))
+        n_chunks = -(-count // chunk)
+        pf_list, pt_list, pw_list = [], [], []
+        for ci in range(n_chunks):
+            lo = ci * chunk
+            hi = min(count, lo + chunk)
+            vid = jnp.asarray(vids_np[lo:hi])
+            q = pos[vid]  # (c, 3)
+            linf = jnp.abs(cent[None, :, 0] - q[:, None, 0])
+            for dim in (1, 2):
+                linf = jnp.maximum(
+                    linf, jnp.abs(cent[None, :, dim] - q[:, None, dim])
+                )
+            _, top_idx = jax.lax.top_k(-linf, K)
+            cand_f = f_start + top_idx
+            cand_ok = (
+                jnp.take_along_axis(linf, top_idx, axis=1) < cutoff
+            )
+            f, t, w = detail(vid, cand_f, cand_ok, is_self)
+            pf_list.append(f)
+            pt_list.append(t)
+            pw_list.append(w)
+        found = found.at[cq_start : cq_start + count].set(
+            jnp.concatenate(pf_list)
+        )
+        tri_out = tri_out.at[cq_start : cq_start + count].set(
+            jnp.concatenate(pt_list)
+        )
+        w_out = w_out.at[cq_start : cq_start + count].set(
+            jnp.concatenate(pw_list)
+        )
+
+    tri = tri_out
+    w = w_out
 
     # latched side: set dir at the 0 -> 1 transition of proj_flag
     v = jnp.einsum("ck,ck...->c...", w, pos[tri])
     n = jnp.einsum("ck,ck...->c...", w, vn[tri])
-    xq = pos[con.cq_vert]
+    xq = pos[jnp.asarray(con.cq_vert)]
     new_dir = (jnp.sum((xq - v) * n, axis=1) > 0).astype(jnp.int32)
     first = (proj_flag == 0) & found
     proj_dir = jnp.where(first, new_dir, proj_dir)
