@@ -23,16 +23,22 @@ def _add_common(p):
     p.add_argument("--Kb", type=float, default=None)
     p.add_argument("--mu", type=float, default=None)
     p.add_argument("--save_dir", type=str, default=None)
-    p.add_argument("--solver", type=str, default="dense")
+    p.add_argument("--solver", type=str, default=None,
+                   help="dense|cg (default: cg on TPU, dense on CPU)")
     p.add_argument("--f32", action="store_true")
+    p.add_argument("--f64", action="store_true")
     p.add_argument("--max_newton_iter", type=int, default=None)
 
 
 def _make_scene(args):
+    import jax
     import jax.numpy as jnp
 
     from .scenes import registry
 
+    # platform-aware defaults: TPUs emulate f64 (very slow) and have no
+    # fast dense f64 LU -- default to f32 + CG there, f64 + dense on CPU
+    on_tpu = jax.devices()[0].platform != "cpu"
     kwargs = {}
     if args.Kb is not None:
         kwargs["kb"] = args.Kb
@@ -40,8 +46,8 @@ def _make_scene(args):
         kwargs["mu_cloth_elastic"] = args.mu
     if args.max_newton_iter is not None:
         kwargs["max_newton_iter"] = args.max_newton_iter
-    kwargs["solver"] = args.solver
-    if args.f32:
+    kwargs["solver"] = args.solver or ("cg" if on_tpu else "dense")
+    if args.f32 or (on_tpu and not args.f64):
         kwargs["dtype"] = jnp.float32
     return registry.make_scene(args.env, **kwargs)
 

@@ -269,6 +269,7 @@ class SceneBuilder:
 
         nd = _np_dtype(d)
         spec = SceneSpec(
+            hvp_slots=None,
             mass=np.asarray(mass, nd),
             gravity=np.asarray(gravity, nd),
             ext_force=np.zeros((NV, 3), nd),
@@ -297,6 +298,11 @@ class SceneBuilder:
             solver=self.cfg["solver"],
             dtype=d,
         )
+
+        if self.cfg["solver"] == "cg" and cloth.f2v.shape[0] > 0:
+            from ..engine.elements import build_hvp_slots
+
+            spec = spec.replace(hvp_slots=build_hvp_slots(spec))
 
         NH = cloth.hinge_verts.shape[0]
         C = contact.capacity

@@ -112,6 +112,22 @@ class GripperSpec:
 
 
 @pytree_dataclass
+class HvpSlots:
+    """Static pull-based sparsity for the matrix-free Hessian product.
+
+    For every vertex v, slots[v] lists the static element blocks whose ROW is
+    v: slot_e indexes the fused element-block array, slot_ab packs (a*4+b),
+    slot_col is the column vertex. Built once at scene construction; per
+    Newton iteration the blocks are gathered into a dense (NV+1, D, 3, 3)
+    neighbor array so each CG iteration is gather+einsum with no scatter."""
+
+    slot_e: Any    # (NV+1, D) int32 index into fused static blocks
+    slot_ab: Any   # (NV+1, D) int32 packed a*4+b
+    slot_col: Any  # (NV+1, D) int32 column vertex (NV = zero pad)
+    D: int = static_field(default=0)
+
+
+@pytree_dataclass
 class SceneSpec:
     # global vertex soup
     mass: Any       # (NV,)
@@ -119,6 +135,7 @@ class SceneSpec:
     ext_force: Any  # (NV, 3)
     frozen: Any     # (NV, 3) bool
     faces: Any      # (F, 3) int32 (all bodies' surface triangles)
+    hvp_slots: Any  # HvpSlots or None
     cloth: ClothSoup
     neo: TetSoup    # stable-neo-Hookean elastics (table/box/ball)
     tact: TetSoup   # tactile-pad elastics

@@ -370,3 +370,128 @@ def frozen_column_product(spec, fused, z):
     tp = jnp.zeros_like(zp)
     tp = tp.at[idx].add(-contrib * fro[idx])
     return tp[: spec.NV]
+
+
+# --------------------------------------------------------------------------
+# Pull-based Hvp (static sparsity)
+# --------------------------------------------------------------------------
+
+
+def static_block_count(spec) -> int:
+    """Number of leading STATIC elements in the fused block array (membrane,
+    bending, neo, tact -- in fuse_groups order); barrier+friction follow."""
+    n = spec.cloth.f2v.shape[0] + spec.cloth.hinge_verts.shape[0]
+    n += spec.neo.tets.shape[0] + spec.tact.tets.shape[0]
+    return n
+
+
+def build_hvp_slots(spec):
+    """Host-side (numpy) construction of HvpSlots for the static soups.
+    Padding slots point at a membrane element's always-zero (3,3) pad block
+    and column NV (the zero row of the padded x)."""
+    import numpy as _np
+
+    from ..core.spec import HvpSlots
+
+    NV = spec.NV
+    groups = []  # (idx (E,k), base, k)
+    base = 0
+    f2v = _np.asarray(spec.cloth.f2v)
+    groups.append((f2v, base, 3))
+    base += f2v.shape[0]
+    hv = _np.asarray(spec.cloth.hinge_verts)
+    hm = _np.asarray(spec.cloth.hinge_mask)
+    groups.append((hv, base, 4, hm))
+    base += hv.shape[0]
+    for soup in (spec.neo, spec.tact):
+        t = _np.asarray(soup.tets)
+        if t.shape[0]:
+            groups.append((t, base, 4))
+        base += t.shape[0]
+
+    rows_all, e_all, ab_all, col_all = [], [], [], []
+    for g in groups:
+        idx, gbase, k = g[0], g[1], g[2]
+        gmask = g[3] if len(g) > 3 else None
+        E = idx.shape[0]
+        if E == 0:
+            continue
+        e_ids = gbase + _np.arange(E, dtype=_np.int64)
+        for a in range(k):
+            for b in range(k):
+                rows = idx[:, a].astype(_np.int64)
+                if gmask is not None:
+                    sel = gmask
+                    rows_all.append(rows[sel])
+                    e_all.append(e_ids[sel])
+                    ab_all.append(_np.full(sel.sum(), a * 4 + b, _np.int64))
+                    col_all.append(idx[sel, b].astype(_np.int64))
+                else:
+                    rows_all.append(rows)
+                    e_all.append(e_ids)
+                    ab_all.append(_np.full(E, a * 4 + b, _np.int64))
+                    col_all.append(idx[:, b].astype(_np.int64))
+    rows = _np.concatenate(rows_all)
+    e_arr = _np.concatenate(e_all)
+    ab_arr = _np.concatenate(ab_all)
+    col_arr = _np.concatenate(col_all)
+
+    order = _np.argsort(rows, kind="stable")
+    rows, e_arr, ab_arr, col_arr = (
+        rows[order], e_arr[order], ab_arr[order], col_arr[order]
+    )
+    counts = _np.bincount(rows, minlength=NV)
+    D = int(counts.max()) if len(counts) else 1
+    # pad block: membrane element 0 has zero blocks at (a=3, b=3)
+    assert spec.cloth.f2v.shape[0] > 0, "hvp slots need at least one cloth"
+    slot_e = _np.zeros((NV + 1, D), _np.int32)
+    slot_ab = _np.full((NV + 1, D), 15, _np.int32)  # (3,3) pad block
+    slot_col = _np.full((NV + 1, D), NV, _np.int32)
+    start = _np.zeros(NV + 1, _np.int64)
+    _np.cumsum(counts, out=start[1:NV + 1])
+    for v in range(NV):
+        s0, s1 = start[v], start[v] + counts[v]
+        slot_e[v, : counts[v]] = e_arr[s0:s1]
+        slot_ab[v, : counts[v]] = ab_arr[s0:s1]
+        slot_col[v, : counts[v]] = col_arr[s0:s1]
+    return HvpSlots(slot_e=slot_e, slot_ab=slot_ab, slot_col=slot_col, D=D)
+
+
+def gather_neighbor_blocks(spec, fused, x_dtype):
+    """(NV+1, D, 3, 3) static-part blocks in pull layout, frozen-masked.
+    Done ONCE per Newton iteration."""
+    sl = spec.hvp_slots
+    Hs = fused["H"]
+    e = jnp.asarray(sl.slot_e)
+    ab = jnp.asarray(sl.slot_ab)
+    nbr = Hs[e, ab // 4, ab % 4]  # (NV+1, D, 3, 3)
+    unf = jnp.concatenate(
+        [jnp.asarray(~spec.frozen, x_dtype), jnp.zeros((1, 3), x_dtype)]
+    )
+    colm = unf[jnp.asarray(sl.slot_col)]  # (NV+1, D, 3)
+    rowm = unf[:, None, :]  # (NV+1, 1, 3)
+    return nbr * rowm[..., None] * colm[:, :, None, :]
+
+
+def hvp_pull(spec, nbr, fused, x):
+    """H @ x with the static part as gather+einsum over the precomputed
+    neighbor blocks and only the (small, dynamic) contact part as a
+    scatter."""
+    sl = spec.hvp_slots
+    md = jnp.asarray(spec.mass)
+    unf = jnp.concatenate(
+        [jnp.asarray(~spec.frozen, x.dtype), jnp.zeros((1, 3), x.dtype)]
+    )
+    xp = jnp.concatenate([x, jnp.zeros((1, 3), x.dtype)], axis=0)
+    xg = xp[jnp.asarray(sl.slot_col)]  # (NV+1, D, 3)
+    y = jnp.einsum("vdij,vdj->vi", nbr, xg)[: spec.NV]
+    y = y + (md / spec.dt**2)[:, None] * x
+
+    ns = static_block_count(spec)
+    idx = fused["idx"][ns:]
+    Hd = fused["H"][ns:]
+    xpm = xp * unf
+    contrib = jnp.einsum("eabij,ebj->eai", Hd, xpm[idx])
+    yp = jnp.zeros_like(xp)
+    yp = yp.at[idx].add(contrib * unf[idx])
+    return y + yp[: spec.NV]

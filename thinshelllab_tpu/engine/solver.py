@@ -30,15 +30,25 @@ def solve_dense(spec: SceneSpec, groups, F):
 
 
 def solve_cg(spec: SceneSpec, groups, F):
-    """Block-Jacobi PCG on H p = F (H from element blocks, frozen-masked)."""
+    """Block-Jacobi PCG on H p = F (H from element blocks, frozen-masked).
+
+    When the spec carries static HvpSlots, the static element blocks are
+    gathered once into a pull layout so each CG iteration is gather+einsum
+    (no scatter) plus a small dynamic contact scatter."""
     D = elements.diag_blocks(spec, groups)
     Dinv = jnp.linalg.inv(D)  # (NV, 3, 3)
 
     def precond(r):
         return jnp.einsum("nij,nj->ni", Dinv, r)
 
-    def A(x):
-        return elements.hvp(spec, groups, x)
+    if spec.hvp_slots is not None:
+        nbr = elements.gather_neighbor_blocks(spec, groups, F.dtype)
+
+        def A(x):
+            return elements.hvp_pull(spec, nbr, groups, x)
+    else:
+        def A(x):
+            return elements.hvp(spec, groups, x)
 
     b = F
     bnorm = jnp.linalg.norm(b)

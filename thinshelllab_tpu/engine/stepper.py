@@ -61,7 +61,11 @@ def build_contacts(spec: SceneSpec, params: Params, pos, prev_pos, proj_flag,
 
 def time_step(spec: SceneSpec, params: Params, state: SimState, action):
     """action: (delta_pos (G,3), delta_rot (G,3), delta_dis (G,))."""
-    delta_pos, delta_rot, delta_dis = action
+    # actions may arrive at a different precision (e.g. f64 trajectory
+    # tables driving an f32 scene); cast so the scanned state dtype is stable
+    delta_pos, delta_rot, delta_dis = (
+        jnp.asarray(a, spec.dtype) for a in action
+    )
     gs = gripper.gripper_step(spec, state.gripper, delta_pos, delta_rot, delta_dis)
     pos = gripper.write_bound_vertices(spec, state.pos, gs)
 
