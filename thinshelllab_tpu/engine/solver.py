@@ -23,6 +23,29 @@ from ..core.spec import SceneSpec
 from . import elements
 
 
+def _inv3x3(A):
+    """Batched closed-form 3x3 inverse via the adjugate (VPU-friendly;
+    avoids the batched-LU custom call)."""
+    a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    d, e, f = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
+    g, h, i = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+    A11 = e * i - f * h
+    A12 = c * h - b * i
+    A13 = b * f - c * e
+    A21 = f * g - d * i
+    A22 = a * i - c * g
+    A23 = c * d - a * f
+    A31 = d * h - e * g
+    A32 = b * g - a * h
+    A33 = a * e - b * d
+    det = a * A11 + b * A21 + c * A31
+    inv_det = 1.0 / jnp.where(jnp.abs(det) > 1e-300, det, 1e-300)
+    out = jnp.stack(
+        [A11, A12, A13, A21, A22, A23, A31, A32, A33], axis=-1
+    ).reshape(A.shape)
+    return out * inv_det[..., None, None]
+
+
 def solve_dense(spec: SceneSpec, groups, F):
     H = elements.dense_hessian(spec, groups)
     p = jnp.linalg.solve(H, F.reshape(-1))
@@ -36,7 +59,7 @@ def solve_cg(spec: SceneSpec, groups, F):
     gathered once into a pull layout so each CG iteration is gather+einsum
     (no scatter) plus a small dynamic contact scatter."""
     D = elements.diag_blocks(spec, groups)
-    Dinv = jnp.linalg.inv(D)  # (NV, 3, 3)
+    Dinv = _inv3x3(D)  # (NV, 3, 3) closed-form adjugate (no LU custom call)
 
     def precond(r):
         return jnp.einsum("nij,nj->ni", Dinv, r)

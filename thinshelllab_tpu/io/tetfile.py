@@ -58,3 +58,31 @@ def save_cloth_mesh_ply(pos: np.ndarray, faces: np.ndarray, path: str):
             f.write(f"{p[0]} {p[1]} {p[2]}\n")
         for t in faces:
             f.write(f"3 {t[0]} {t[1]} {t[2]}\n")
+
+
+def read_gelsight_force(filename: str):
+    """GelSight capture force series (reference readfile.read_force:79-90;
+    requires h5py)."""
+    import h5py
+
+    with h5py.File(filename, "r") as f:
+        force = np.array(f["force_measure"])
+    force[:, 2] -= 0.44
+    return force
+
+
+def read_gelsight_pose(filename: str):
+    """GelSight capture tool poses (reference readfile.read_pos:92-102)."""
+    import h5py
+
+    with h5py.File(filename, "r") as f:
+        return np.array(f["tool_pose"])
+
+
+def get_score(path: str, step: int, cmaes: bool = False):
+    """Best reward over the first `step` entries of a plot_data.npy
+    (reference readfile.get_score:130-135)."""
+    rewards = np.load(path)[:step]
+    if cmaes:
+        rewards = -rewards - 5.1
+    return rewards.max()

@@ -123,3 +123,25 @@ def hinge_row_mask(builder, cloth_body, row_v0, row_v3):
                 if v0 // Mp1 == row_v0 and v3 // Mp1 == row_v3:
                     mask[i * 3 + l] = True
     return mask
+
+
+def force_loss_pos_grad(spec: SceneSpec, params: Params, pos, grad_force):
+    """dL/dpos for a loss seeded on the effector boundary force
+    (generalizes the reference's tactile compute_force_deri,
+    model_elastic_tactile.py:373-414, via one AD vjp): grad_force is
+    (n_part, 3) = dL/d(total bound force per part)."""
+    g = spec.gripper
+
+    def bound_forces(p):
+        _, grp = elements.tact_eval(spec, params, p, False, False)
+        force = jnp.zeros_like(p)
+        force = force.at[grp["idx"]].add(-grp["g"])
+        out = jnp.zeros((g.n_part, 3), p.dtype)
+        for pad in range(g.n_pads):
+            gidx = g.pad_offset[pad] + g.bound_idx
+            out = out.at[g.pad_part[pad]].add(jnp.sum(force[gidx], axis=0))
+        return out
+
+    _, vjp = jax.vjp(bound_forces, pos)
+    (pg,) = vjp(jnp.asarray(grad_force, pos.dtype))
+    return pg

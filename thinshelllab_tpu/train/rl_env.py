@@ -162,3 +162,25 @@ def make_sb3_vec_env(sys_name, n_envs, **kwargs):
     from stable_baselines3.common.env_util import make_vec_env
 
     return make_vec_env(lambda: Env(sys_name, **kwargs), n_envs=n_envs)
+
+
+class EvalEnv(Env):
+    """Evaluation wrapper returning the undiscounted per-step reward DELTA
+    (reference training/RL_eval_env.py:20-43)."""
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self._last = 0.0
+
+    def reset(self, seed=None, options=None):
+        obs, info = super().reset(seed, options)
+        self._last = 0.0
+        return obs, info
+
+    def step(self, action):
+        obs, rew, done, trunc, info = super().step(action)
+        # undo the exp() shaping and report the raw reward increment
+        raw = float(np.log(max(rew, 1e-300))) if rew > 0 else self._last
+        delta = raw - self._last
+        self._last = raw
+        return obs, delta, done, trunc, info
