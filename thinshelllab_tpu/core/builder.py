@@ -270,6 +270,7 @@ class SceneBuilder:
         nd = _np_dtype(d)
         spec = SceneSpec(
             hvp_slots=None,
+            dia=None,
             mass=np.asarray(mass, nd),
             gravity=np.asarray(gravity, nd),
             ext_force=np.zeros((NV, 3), nd),
@@ -300,9 +301,16 @@ class SceneBuilder:
         )
 
         if self.cfg["solver"] == "cg" and cloth.f2v.shape[0] > 0:
-            from ..engine.elements import build_hvp_slots
+            from ..engine.elements import build_dia_plan, build_hvp_slots
 
-            spec = spec.replace(hvp_slots=build_hvp_slots(spec))
+            dia_plan, leftover_mask = build_dia_plan(spec)
+            if dia_plan is not None:
+                spec = spec.replace(
+                    dia=dia_plan,
+                    hvp_slots=build_hvp_slots(spec, keep_mask=leftover_mask),
+                )
+            else:
+                spec = spec.replace(hvp_slots=build_hvp_slots(spec))
 
         NH = cloth.hinge_verts.shape[0]
         C = contact.capacity

@@ -112,6 +112,21 @@ class GripperSpec:
 
 
 @pytree_dataclass
+class DiaPlan:
+    """Hybrid DIA (diagonal) storage plan for the regular part of the static
+    Hessian. Dense offsets (cloth grid + cube lattices: dozens of distinct
+    row->col vertex offsets covering ~all blocks) assemble into a
+    (n_off, NV+1, 3, 3) diagonal array once per Newton iteration; a CG
+    iteration is then static shifts + one einsum (no gathers). Rare offsets
+    (irregular tactile/ball tets) stay on the pull path."""
+
+    slot_src: Any   # (S,) int32 flat (e*16 + a*4 + b) into fused static blocks
+    slot_dst: Any   # (S,) int32 flat (off_id*(NV+1) + row)
+    offsets: Tuple[int, ...] = static_field(default=())
+    max_abs_off: int = static_field(default=0)
+
+
+@pytree_dataclass
 class HvpSlots:
     """Static pull-based sparsity for the matrix-free Hessian product.
 
@@ -121,9 +136,10 @@ class HvpSlots:
     Newton iteration the blocks are gathered into a dense (NV+1, D, 3, 3)
     neighbor array so each CG iteration is gather+einsum with no scatter."""
 
-    slot_e: Any    # (NV+1, D) int32 index into fused static blocks
-    slot_ab: Any   # (NV+1, D) int32 packed a*4+b
-    slot_col: Any  # (NV+1, D) int32 column vertex (NV = zero pad)
+    slot_e: Any    # (R, D) int32 index into fused static blocks
+    slot_ab: Any   # (R, D) int32 packed a*4+b
+    slot_col: Any  # (R, D) int32 column vertex (NV = zero pad)
+    row_ids: Any   # (R,) int32 rows with at least one slot (compact)
     D: int = static_field(default=0)
 
 
@@ -135,7 +151,8 @@ class SceneSpec:
     ext_force: Any  # (NV, 3)
     frozen: Any     # (NV, 3) bool
     faces: Any      # (F, 3) int32 (all bodies' surface triangles)
-    hvp_slots: Any  # HvpSlots or None
+    hvp_slots: Any  # HvpSlots or None (pull path / DIA leftover)
+    dia: Any        # DiaPlan or None (hybrid DIA for the regular offsets)
     cloth: ClothSoup
     neo: TetSoup    # stable-neo-Hookean elastics (table/box/ball)
     tact: TetSoup   # tactile-pad elastics

@@ -385,13 +385,9 @@ def static_block_count(spec) -> int:
     return n
 
 
-def build_hvp_slots(spec):
-    """Host-side (numpy) construction of HvpSlots for the static soups.
-    Padding slots point at a membrane element's always-zero (3,3) pad block
-    and column NV (the zero row of the padded x)."""
+def _enumerate_static_slots(spec):
+    """All static block slots as flat arrays (rows, e, ab, cols)."""
     import numpy as _np
-
-    from ..core.spec import HvpSlots
 
     NV = spec.NV
     groups = []  # (idx (E,k), base, k)
@@ -435,42 +431,80 @@ def build_hvp_slots(spec):
     e_arr = _np.concatenate(e_all)
     ab_arr = _np.concatenate(ab_all)
     col_arr = _np.concatenate(col_all)
+    return rows, e_arr, ab_arr, col_arr
+
+
+def build_hvp_slots(spec, keep_mask=None):
+    """Host-side (numpy) construction of HvpSlots for the static soups.
+    Padding slots point at a membrane element's always-zero (3,3) pad block
+    and column NV (the zero row of the padded x). keep_mask optionally
+    restricts to a subset of slots (the hybrid DIA leftover)."""
+    import numpy as _np
+
+    from ..core.spec import HvpSlots
+
+    NV = spec.NV
+    rows, e_arr, ab_arr, col_arr = _enumerate_static_slots(spec)
+    if keep_mask is not None:
+        rows, e_arr, ab_arr, col_arr = (
+            rows[keep_mask], e_arr[keep_mask], ab_arr[keep_mask],
+            col_arr[keep_mask],
+        )
+    if len(rows) == 0:
+        return HvpSlots(
+            slot_e=_np.zeros((0, 0), _np.int32),
+            slot_ab=_np.zeros((0, 0), _np.int32),
+            slot_col=_np.zeros((0, 0), _np.int32),
+            row_ids=_np.zeros((0,), _np.int32),
+            D=0,
+        )
 
     order = _np.argsort(rows, kind="stable")
     rows, e_arr, ab_arr, col_arr = (
         rows[order], e_arr[order], ab_arr[order], col_arr[order]
     )
     counts = _np.bincount(rows, minlength=NV)
+    row_ids = _np.nonzero(counts)[0].astype(_np.int32)
+    R = len(row_ids)
     D = int(counts.max()) if len(counts) else 1
     # pad block: membrane element 0 has zero blocks at (a=3, b=3)
     assert spec.cloth.f2v.shape[0] > 0, "hvp slots need at least one cloth"
-    slot_e = _np.zeros((NV + 1, D), _np.int32)
-    slot_ab = _np.full((NV + 1, D), 15, _np.int32)  # (3,3) pad block
-    slot_col = _np.full((NV + 1, D), NV, _np.int32)
+    slot_e = _np.zeros((R, D), _np.int32)
+    slot_ab = _np.full((R, D), 15, _np.int32)  # (3,3) pad block
+    slot_col = _np.full((R, D), NV, _np.int32)
     start = _np.zeros(NV + 1, _np.int64)
     _np.cumsum(counts, out=start[1:NV + 1])
-    for v in range(NV):
-        s0, s1 = start[v], start[v] + counts[v]
-        slot_e[v, : counts[v]] = e_arr[s0:s1]
-        slot_ab[v, : counts[v]] = ab_arr[s0:s1]
-        slot_col[v, : counts[v]] = col_arr[s0:s1]
-    return HvpSlots(slot_e=slot_e, slot_ab=slot_ab, slot_col=slot_col, D=D)
+    for ri, v in enumerate(row_ids):
+        c = counts[v]
+        s0 = start[v]
+        slot_e[ri, :c] = e_arr[s0 : s0 + c]
+        slot_ab[ri, :c] = ab_arr[s0 : s0 + c]
+        slot_col[ri, :c] = col_arr[s0 : s0 + c]
+    return HvpSlots(slot_e=slot_e, slot_ab=slot_ab, slot_col=slot_col,
+                    row_ids=row_ids, D=D)
 
 
 def gather_neighbor_blocks(spec, fused, x_dtype):
-    """(NV+1, D, 3, 3) static-part blocks in pull layout, frozen-masked.
+    """(R, D, 3, 3) static-part blocks in pull layout, frozen-masked.
     Done ONCE per Newton iteration."""
     sl = spec.hvp_slots
     Hs = fused["H"]
     e = jnp.asarray(sl.slot_e)
     ab = jnp.asarray(sl.slot_ab)
-    nbr = Hs[e, ab // 4, ab % 4]  # (NV+1, D, 3, 3)
+    nbr = Hs[e, ab // 4, ab % 4]  # (R, D, 3, 3)
     unf = jnp.concatenate(
         [jnp.asarray(~spec.frozen, x_dtype), jnp.zeros((1, 3), x_dtype)]
     )
-    colm = unf[jnp.asarray(sl.slot_col)]  # (NV+1, D, 3)
-    rowm = unf[:, None, :]  # (NV+1, 1, 3)
+    colm = unf[jnp.asarray(sl.slot_col)]  # (R, D, 3)
+    rowm = unf[jnp.asarray(sl.row_ids)][:, None, :]  # (R, 1, 3)
     return nbr * rowm[..., None] * colm[:, :, None, :]
+
+
+def _pull_apply(spec, nbr, xm):
+    """Leftover pull product: per-row (R, D) slot contraction."""
+    sl = spec.hvp_slots
+    xg = xm[jnp.asarray(sl.slot_col)]  # (R, D, 3)
+    return jnp.einsum("rdij,rdj->ri", nbr, xg)
 
 
 def hvp_pull(spec, nbr, fused, x):
@@ -483,8 +517,8 @@ def hvp_pull(spec, nbr, fused, x):
         [jnp.asarray(~spec.frozen, x.dtype), jnp.zeros((1, 3), x.dtype)]
     )
     xp = jnp.concatenate([x, jnp.zeros((1, 3), x.dtype)], axis=0)
-    xg = xp[jnp.asarray(sl.slot_col)]  # (NV+1, D, 3)
-    y = jnp.einsum("vdij,vdj->vi", nbr, xg)[: spec.NV]
+    yr = _pull_apply(spec, nbr, xp)
+    y = jnp.zeros_like(x).at[jnp.asarray(sl.row_ids)].add(yr)
     y = y + (md / spec.dt**2)[:, None] * x
 
     ns = static_block_count(spec)
@@ -495,3 +529,104 @@ def hvp_pull(spec, nbr, fused, x):
     yp = jnp.zeros_like(xp)
     yp = yp.at[idx].add(contrib * unf[idx])
     return y + yp[: spec.NV]
+
+
+def build_dia_plan(spec, min_count=64):
+    """Host-side hybrid DIA plan: vertex offsets (col - row) carrying at
+    least min_count static blocks go into the diagonal store; the rest
+    (irregular meshes) stay on the pull path. Returns (DiaPlan|None,
+    leftover_mask|None)."""
+    import numpy as _np
+
+    from ..core.spec import DiaPlan
+
+    NV = spec.NV
+    rows, e_arr, ab_arr, col_arr = _enumerate_static_slots(spec)
+    if len(rows) == 0:
+        return None, None
+    off = col_arr - rows
+    uniq, counts = _np.unique(off, return_counts=True)
+    dense = uniq[counts >= min_count]
+    if len(dense) == 0 or len(dense) > 256:
+        return None, None
+    off_id = {int(o): i for i, o in enumerate(dense)}
+    in_dia = _np.isin(off, dense)
+    rows_d = rows[in_dia]
+    off_d = off[in_dia]
+    # vectorized id lookup
+    sorter = _np.argsort(dense)
+    id_of = sorter[_np.searchsorted(dense, off_d, sorter=sorter)]
+    slot_src = (e_arr[in_dia] * 16 + ab_arr[in_dia]).astype(_np.int32)
+    slot_dst = (id_of * (NV + 1) + rows_d).astype(_np.int32)
+    order = _np.argsort(slot_dst, kind="stable")
+    slot_src, slot_dst = slot_src[order], slot_dst[order]
+    plan = DiaPlan(
+        slot_src=slot_src,
+        slot_dst=slot_dst,
+        offsets=tuple(int(o) for o in dense),
+        max_abs_off=int(_np.abs(dense).max()),
+    )
+    return plan, ~in_dia
+
+
+def assemble_dia(spec, fused, dtype):
+    """(n_off, NV+1, 3, 3) diagonal store from the fused static blocks
+    (once per Newton iteration)."""
+    plan = spec.dia
+    n_off = len(plan.offsets)
+    NV = spec.NV
+    ns = static_block_count(spec)
+    flat = fused["H"][:ns].reshape(ns * 16, 3, 3)
+    vals = flat[jnp.asarray(plan.slot_src)]
+    dia = jnp.zeros((n_off * (NV + 1), 3, 3), dtype)
+    dia = dia.at[jnp.asarray(plan.slot_dst)].add(
+        vals, indices_are_sorted=True
+    )
+    dia = dia.reshape(n_off, NV + 1, 3, 3)
+    # lane-friendly layout: the innermost (vectorized) dimension is NV
+    return jnp.transpose(dia, (2, 3, 0, 1))  # (3, 3, n_off, NV+1)
+
+
+def hvp_dia(spec, dia, nbr_left, fused, x):
+    """H @ x with the hybrid layout: DIA shifts+einsum for the regular
+    offsets, pull gather for the leftover, scatter for dynamic contact."""
+    plan = spec.dia
+    NV = spec.NV
+    P = plan.max_abs_off
+    md = jnp.asarray(spec.mass)
+    unf = jnp.concatenate(
+        [jnp.asarray(~spec.frozen, x.dtype), jnp.zeros((1, 3), x.dtype)]
+    )
+    xp = jnp.concatenate([x, jnp.zeros((1, 3), x.dtype)], axis=0)
+    xm = xp * unf  # column-masked (row masking applied to y below)
+
+    # DIA part: y[r] += dia[o, r] @ xm[r + off_o], in (j, o, NV) layout so
+    # the TPU lane dimension is NV
+    xpad = jnp.concatenate(
+        [jnp.zeros((3, P), x.dtype), xm[: NV + 1].T,
+         jnp.zeros((3, P), x.dtype)], axis=1,
+    )  # (3, NV+1+2P)
+    shifted = jnp.stack(
+        [
+            jax.lax.dynamic_slice_in_dim(xpad, P + o, NV + 1, axis=1)
+            for o in plan.offsets
+        ],
+        axis=1,
+    )  # (3, n_off, NV+1)
+    yT = jnp.einsum("ijon,jon->in", dia, shifted)  # (3, NV+1)
+    y = (yT.T * unf)[:NV]
+    y = y + (md / spec.dt**2)[:, None] * x
+
+    # leftover pull part (irregular static elements, compact rows)
+    if spec.hvp_slots is not None and spec.hvp_slots.D > 0:
+        yr = _pull_apply(spec, nbr_left, xm)
+        y = y.at[jnp.asarray(spec.hvp_slots.row_ids)].add(yr)
+
+    # dynamic contact part
+    ns = static_block_count(spec)
+    idx = fused["idx"][ns:]
+    Hd = fused["H"][ns:]
+    contrib = jnp.einsum("eabij,ebj->eai", Hd, xm[idx])
+    yp = jnp.zeros_like(xp)
+    yp = yp.at[idx].add(contrib * unf[idx])
+    return y + yp[:NV]

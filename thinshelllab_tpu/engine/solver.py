@@ -64,7 +64,16 @@ def solve_cg(spec: SceneSpec, groups, F):
     def precond(r):
         return jnp.einsum("nij,nj->ni", Dinv, r)
 
-    if spec.hvp_slots is not None:
+    if spec.dia is not None:
+        dia = elements.assemble_dia(spec, groups, F.dtype)
+        if spec.hvp_slots is not None and spec.hvp_slots.D > 0:
+            nbr_left = elements.gather_neighbor_blocks(spec, groups, F.dtype)
+        else:
+            nbr_left = None
+
+        def A(x):
+            return elements.hvp_dia(spec, dia, nbr_left, groups, x)
+    elif spec.hvp_slots is not None:
         nbr = elements.gather_neighbor_blocks(spec, groups, F.dtype)
 
         def A(x):
