@@ -107,3 +107,25 @@ def test_contact_constraint_on_folding():
     xc = np.einsum("ck,cki->ci", w, p[idx[:, :3]])
     gap = np.einsum("ci,ci->c", p[idx[:, 3]] - xc, n)
     assert np.all(gap < spec.eps_contact + 1e-12)
+
+
+def test_check_differential_utility():
+    """Public FD-consistency check (reference check_differential) holds at a
+    pressed state of the folding scene."""
+    from thinshelllab_tpu.engine import stepper
+    from thinshelllab_tpu.engine.debug import check_differential
+    from thinshelllab_tpu.scenes import folding
+
+    sc = folding.make(table_n=5, max_newton_iter=5)
+    act = (jnp.full((2, 1, 3), 0.0).at[:, :, 2].set(-0.0006),
+           jnp.zeros((2, 1, 3)), jnp.zeros((2, 1)))
+    st, _ = stepper.rollout(sc.spec, sc.params, sc.state0, act)
+    # perturb off equilibrium: at a converged state the residual is ~0 and
+    # the FD energy difference is dominated by second-order terms
+    rng = np.random.default_rng(1)
+    noise = rng.standard_normal(st.pos.shape) * 2e-4
+    noise[np.asarray(sc.spec.frozen)] = 0.0
+    st = st.replace(pos=st.pos + jnp.asarray(noise))
+    out = check_differential(sc.spec, sc.params, st, verbose=False)
+    assert out["grad_rel_err"] < 1e-4
+    assert out["hess_rel_err"] < 1e-3
