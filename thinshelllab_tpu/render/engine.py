@@ -56,7 +56,10 @@ class Renderer:
         self.save_dir = save_dir or f"imgs/{env_name}"
         self.settings = load_texture_options(env_name)
         if option in ("Preview", "Taichi"):
-            self.backend = PreviewRenderer(self.spec, self.save_dir)
+            self.backend = PreviewRenderer(
+                self.spec, self.save_dir,
+                fit_pos=np.asarray(scene.state0.pos),
+            )
         elif option == "LuisaScript":
             self.backend = None
             self.scripts = luisa.LuisaScripts(self.save_dir)

@@ -43,12 +43,18 @@ def default_colors(spec):
 
 class PreviewRenderer:
     def __init__(self, spec, save_dir: str, camera=((-0.2, 0.2, 0.05), (0, 0, 0)),
-                 lims=((-0.08, 0.08), (-0.08, 0.08), (-0.03, 0.06))):
+                 lims=None, fit_pos=None):
         self.spec = spec
         self.save_dir = save_dir
         self.colors = default_colors(spec)
         self.camera = camera
-        self.lims = lims
+        if lims is None and fit_pos is not None:
+            p = np.asarray(fit_pos)
+            lo, hi = p.min(axis=0), p.max(axis=0)
+            c = 0.5 * (lo + hi)
+            half = max(float((hi - lo).max()) * 0.6, 0.01)
+            lims = tuple((float(c[d] - half), float(c[d] + half)) for d in range(3))
+        self.lims = lims or ((-0.08, 0.08), (-0.08, 0.08), (-0.03, 0.06))
         self.saved = []
         os.makedirs(save_dir, exist_ok=True)
 
