@@ -20,7 +20,6 @@ import numpy as np
 def _np_dtype(d):
     return np.dtype(jnp.zeros((), d).dtype)
 
-from ..utils.quaternion import quat_to_rotmat
 from . import topology
 from .spec import (
     ClothSoup,

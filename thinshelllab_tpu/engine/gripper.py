@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from ..core.spec import GripperSpec, GripperState, SceneSpec
+from ..core.spec import GripperState, SceneSpec
 from ..utils.quaternion import quat_apply_delta_rot, quat_to_rotmat
 
 

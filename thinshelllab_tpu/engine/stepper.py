@@ -20,7 +20,7 @@ import jax.numpy as jnp
 
 from ..core.spec import Params, SceneSpec, SimState
 from ..ops import collision, energies
-from . import elements, gripper, solver
+from . import gripper, solver
 
 
 class StepAux(NamedTuple):

@@ -16,10 +16,10 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
-from ..core.spec import Params, SimState
+from ..core.spec import SimState
 from ..engine import adjoint, stepper
 
 

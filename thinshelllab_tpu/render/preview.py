@@ -4,7 +4,6 @@ matplotlib, saving per-frame PNGs and stitching a GIF."""
 from __future__ import annotations
 
 import os
-from typing import Optional
 
 import numpy as np
 

@@ -10,8 +10,6 @@ training_env.py:64).
 """
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

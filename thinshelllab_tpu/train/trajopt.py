@@ -11,7 +11,6 @@ device dispatches.
 """
 from __future__ import annotations
 
-import json
 import os
 import time
 from typing import Optional
