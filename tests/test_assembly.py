@@ -1,0 +1,86 @@
+"""Exactness of the hybrid DIA assembly (stencil slice-adds + row gather +
+pull leftover) against the dense Hessian, on scenes that exercise every
+tier: bench (wide cloth -> stencil families + lattice tets + tactile
+leftover) and folding (narrow cloth -> pull-path fallback)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from thinshelllab_tpu.engine import elements, solver, stepper
+from thinshelllab_tpu.scenes import bench_scene, folding
+
+
+def _system(sc):
+    spec, params = sc.spec, sc.params
+    state = sc.state0
+    rng = np.random.default_rng(0)
+    pos = jnp.asarray(state.pos) + 1e-4 * rng.normal(size=state.pos.shape)
+    contact, _, _ = stepper.build_contacts(
+        spec, params, pos, pos, jnp.asarray(state.proj_flag),
+        jnp.asarray(state.proj_dir))
+    groups = elements.all_groups(spec, params, pos,
+                                 jnp.asarray(state.ref_angle), contact,
+                                 with_hess=True, spd=True)
+    return spec, params, pos, groups
+
+
+@pytest.mark.parametrize("make,kw", [
+    (bench_scene.make, dict(cloth_N=12)),
+    (folding.make, dict(table_n=4)),
+])
+def test_hvp_and_diag_match_dense(make, kw):
+    sc = make(dtype=jnp.float64, solver="cg", **kw)
+    spec, params, pos, groups = _system(sc)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(spec.NV, 3)))
+    x = jnp.where(jnp.asarray(spec.frozen), 0.0, x)
+
+    Hd = elements.dense_hessian(spec, groups)
+    y_dense = (Hd @ x.reshape(-1)).reshape(-1, 3)
+    y_dense = jnp.where(
+        jnp.asarray(spec.frozen),
+        (jnp.asarray(spec.mass) / spec.dt**2)[:, None] * x, y_dense)
+
+    scale = float(jnp.max(jnp.abs(Hd))) + 1.0
+    if spec.dia is not None:
+        dia = elements.assemble_dia(spec, groups, x.dtype)
+        nbr = (elements.gather_neighbor_blocks(spec, groups, x.dtype)
+               if spec.hvp_slots is not None and spec.hvp_slots.D > 0
+               else None)
+        y = elements.hvp_dia(spec, dia, nbr, groups, x)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(y_dense),
+                                   atol=1e-11 * scale)
+        D_new = elements.diag_blocks_dia(spec, groups, dia, nbr)
+        D_old = elements.diag_blocks(spec, groups)
+        np.testing.assert_allclose(np.asarray(D_new), np.asarray(D_old),
+                                   atol=1e-11 * scale)
+    elif spec.hvp_slots is not None:
+        nbr = elements.gather_neighbor_blocks(spec, groups, x.dtype)
+        y = elements.hvp_pull(spec, nbr, groups, x)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(y_dense),
+                                   atol=1e-11 * scale)
+
+
+def test_residual_gather_matches_scatter():
+    sc = bench_scene.make(cloth_N=12, dtype=jnp.float64, solver="cg")
+    spec, params, pos, groups = _system(sc)
+    zeros = jnp.zeros_like(pos)
+    F_new = elements.assemble_residual(spec, groups, pos, pos, zeros)
+    F_old = elements.assemble_residual(spec.replace(dia=None), groups, pos,
+                                       pos, zeros)
+    np.testing.assert_allclose(np.asarray(F_new), np.asarray(F_old),
+                               atol=1e-10)
+
+
+def test_smoothed_preconditioner_solve_agrees_with_dense():
+    sc = bench_scene.make(cloth_N=12, dtype=jnp.float64, solver="cg")
+    spec, params, pos, groups = _system(sc)
+    spec = spec.replace(precond_smooth=3)
+    F = elements.assemble_residual(spec, groups, pos, pos,
+                                   jnp.zeros_like(pos))
+    p_cg = solver.solve_cg(spec, groups, F)
+    p_dn = solver.solve_dense(spec, groups, F)
+    rel = float(jnp.linalg.norm(p_cg - p_dn) /
+                (jnp.linalg.norm(p_dn) + 1e-30))
+    assert rel < 1e-3

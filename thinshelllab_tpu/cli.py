@@ -57,11 +57,19 @@ def cmd_trajopt(args):
     from .train.trajopt import TrajOptDriver
 
     scene = _make_scene(args)
+    if args.load_state:
+        _load_scene_state(scene, args.load_state)
     save_dir = args.save_dir or f"imgs/traj_opt_{args.env}"
     drv = TrajOptDriver(scene, args.tot_step, lr=args.lr,
                         max_dist=args.max_dist, save_dir=save_dir)
     if args.load_traj:
         drv.agent.load(args.load_traj)
+    if args.init_traj:
+        fn = getattr(drv.agent, f"init_traj_{args.init_traj}", None)
+        if fn is None:
+            raise KeyError(f"unknown --init_traj '{args.init_traj}'; "
+                           "available: forming, pick_fold, card, slide")
+        fn()
     renderer = Renderer(scene, args.env, option=args.render_option,
                         save_dir=save_dir) if args.render_every else None
     for i in range(args.iter):
@@ -72,6 +80,19 @@ def cmd_trajopt(args):
         if renderer and i % args.render_every == 0:
             _render_rollout(scene, drv.agent.actions(), renderer, tag=i)
     print("best reward:", drv.best_reward)
+
+
+def _load_scene_state(scene, path):
+    """Full-state warm start (reference Scene_balancing.load_all:202-222 +
+    shipped data/balance_state). Casts float leaves to the scene dtype."""
+    import jax
+
+    from .utils import checkpoint
+
+    st = checkpoint.load_state(path)
+    # SimState leaves stay plain numpy at build time (repo design rule)
+    scene.state0 = jax.tree.map(
+        lambda a, b: np.asarray(a, np.asarray(b).dtype), st, scene.state0)
 
 
 def _render_rollout(scene, actions, renderer, tag=0):
@@ -92,10 +113,13 @@ def cmd_cmaes(args):
     from .train.cmaes import CMAESDriver
 
     scene = _make_scene(args)
+    if args.load_state:
+        _load_scene_state(scene, args.load_state)
     skip = 5 if args.env == "interact" else 0
     drv = CMAESDriver(scene, args.tot_step, args.abs_step,
                       pop_size=args.pop_size, sigma=args.sigma,
-                      max_dist=args.max_dist, skip_first=skip)
+                      max_dist=args.max_dist, skip_first=skip,
+                      reward_name=args.reward_name or "default")
     save_dir = args.save_dir or f"data/cmaes_traj_{args.env}"
     os.makedirs(save_dir, exist_ok=True)
     for g in range(args.iter):
@@ -131,26 +155,100 @@ def cmd_dp(args):
               f"param {info['param']:.4f} grad {info['grad']:.3g}", flush=True)
 
 
+def _eval_policy(trainer, env, n_steps):
+    """One deterministic episode on the batched env; mean return of env 0
+    (the EvalCallback measurement, reference training_env.py:86)."""
+    obs = env.reset()
+    total = 0.0
+    carry = None
+    recurrent = hasattr(trainer, "hidden")
+    for _ in range(n_steps):
+        if recurrent:  # recurrent policies carry hidden state
+            act, carry = trainer.act(obs, carry)
+        else:
+            act = trainer.act(obs)
+        obs, rew, done = env.step(act)
+        total += float(rew[0])
+        if bool(done[0]):
+            break
+    return total
+
+
 def cmd_rl(args):
-    from .train.rl_env import Env
+    """RL training (reference training/training_env.py:54-96): algo in
+    {ppo, sac, recurrent_ppo}, n_envs vectorized envs, EvalCallback-style
+    best-model checkpointing into checkpoints/<env>/.
 
-    env = Env(sys_name=args.env, time_step=args.tot_step)
+    Uses stable-baselines3 when installed (reference dependency); otherwise
+    the native JAX trainers (train/{ppo,sac,recurrent_ppo}.py)."""
+    scene = _make_scene(args)
+    save_dir = args.save_dir or f"checkpoints/{args.env}"
+    os.makedirs(save_dir, exist_ok=True)
+    algo = args.algo.lower()
     try:
-        from stable_baselines3 import PPO
+        import stable_baselines3  # noqa: F401
 
-        model = PPO("MlpPolicy", env, verbose=1)
-        model.learn(total_timesteps=args.timesteps)
-        model.save(args.save_dir or f"checkpoints/{args.env}")
+        _sb3_train(args, scene, algo, save_dir)
+        return
     except ImportError:
-        from .train.ppo import PPOTrainer
-        from .train.rl_env import BatchedEnv
+        pass
 
-        scene = env.scene
-        batched = BatchedEnv(scene, args.n_envs, time_limit=args.tot_step)
-        trainer = PPOTrainer(batched, total_steps=args.timesteps)
-        trainer.train()
-        if args.save_dir:
-            trainer.save(args.save_dir)
+    from .train.ppo import PPOTrainer
+    from .train.recurrent_ppo import RecurrentPPOTrainer
+    from .train.rl_env import BatchedEnv
+    from .train.sac import SACTrainer
+
+    trainers = {"ppo": PPOTrainer, "sac": SACTrainer,
+                "recurrent_ppo": RecurrentPPOTrainer}
+    if algo not in trainers:
+        raise KeyError(f"unknown --algo '{algo}'; available: "
+                       f"{sorted(trainers)}")
+    batched = BatchedEnv(scene, args.n_envs, time_limit=args.tot_step,
+                         reward_name=args.reward_name)
+    kwargs = {} if algo == "sac" else {"horizon": args.horizon}
+    trainer = trainers[algo](batched, total_steps=args.timesteps, **kwargs)
+
+    best = {"reward": -float("inf")}
+
+    def eval_callback(steps_done):
+        r = _eval_policy(trainer, batched, args.tot_step)
+        if r > best["reward"]:
+            best["reward"] = r
+            trainer.save(os.path.join(save_dir, "best_model.pkl"))
+        print(f"eval @ {steps_done}: return {r:.4f} "
+              f"(best {best['reward']:.4f})", flush=True)
+
+    trainer.train(callback=eval_callback)
+    trainer.save(os.path.join(save_dir, "final_model.pkl"))
+    print(f"saved models to {save_dir}")
+
+
+def _sb3_train(args, scene, algo, save_dir):
+    """stable-baselines3 path, matching reference training_env.py:54-96."""
+    from stable_baselines3 import PPO, SAC
+    from stable_baselines3.common.callbacks import EvalCallback
+
+    from .train.rl_env import Env, make_sb3_vec_env
+
+    kwargs = dict(time_step=args.tot_step, reward_name=args.reward_name,
+                  scene=scene)
+    venv = make_sb3_vec_env(args.env, args.n_envs, **kwargs)
+    eval_env = Env(sys_name=args.env, **kwargs)
+    cb = EvalCallback(eval_env, best_model_save_path=save_dir,
+                      eval_freq=max(args.timesteps // 20 // args.n_envs, 1),
+                      deterministic=True)
+    if algo == "ppo":
+        model = PPO("MlpPolicy", venv, verbose=1)
+    elif algo == "sac":
+        model = SAC("MlpPolicy", venv, verbose=1)
+    elif algo == "recurrent_ppo":
+        from sb3_contrib import RecurrentPPO
+
+        model = RecurrentPPO("MlpLstmPolicy", venv, verbose=1)
+    else:
+        raise KeyError(f"unknown --algo '{algo}'")
+    model.learn(total_timesteps=args.timesteps, callback=cb)
+    model.save(os.path.join(save_dir, "final_model"))
 
 
 def cmd_render(args):
@@ -183,6 +281,12 @@ def main(argv=None):
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--max_dist", type=float, default=0.015)
     p.add_argument("--load_traj", type=str, default=None)
+    p.add_argument("--init_traj", type=str, default=None,
+                   help="warm start: forming|pick_fold|card|slide "
+                        "(reference traj_opt_single.py:50-109)")
+    p.add_argument("--load_state", type=str, default=None,
+                   help="npz full-state warm start (reference "
+                        "Scene_balancing.load_all / data/balance_state)")
     p.add_argument("--render_every", type=int, default=0)
     p.add_argument("--render_option", type=str, default="Preview")
     p.set_defaults(fn=cmd_trajopt)
@@ -194,6 +298,10 @@ def main(argv=None):
     p.add_argument("--abs_step", type=int, default=10)
     p.add_argument("--sigma", type=float, default=1.0)
     p.add_argument("--max_dist", type=float, default=0.002)
+    p.add_argument("--reward_name", type=str, default=None,
+                   help="scene reward variant (reference run_cmaes_all.py)")
+    p.add_argument("--load_state", type=str, default=None,
+                   help="npz full-state warm start")
     p.set_defaults(fn=cmd_cmaes)
 
     p = sub.add_parser("dp")
@@ -207,6 +315,12 @@ def main(argv=None):
     _add_common(p)
     p.add_argument("--timesteps", type=int, default=100000)
     p.add_argument("--n_envs", type=int, default=8)
+    p.add_argument("--algo", type=str, default="ppo",
+                   help="ppo|sac|recurrent_ppo (training_env.py algo arg)")
+    p.add_argument("--reward_name", type=str, default=None,
+                   help="scene reward variant (reference RL_env.py:198)")
+    p.add_argument("--horizon", type=int, default=64,
+                   help="on-policy rollout chunk length (ppo/recurrent_ppo)")
     p.set_defaults(fn=cmd_rl)
 
     p = sub.add_parser("render")

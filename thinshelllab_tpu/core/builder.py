@@ -292,10 +292,22 @@ class SceneBuilder:
             eps_contact=self.cfg["eps_contact"],
             eps_v=self.cfg["eps_v"],
             max_newton_iter=self.cfg["max_newton_iter"],
-            newton_tol=self.cfg["newton_tol"],
+            # the reference's 1e-7 (|p|_inf / dt, i.e. 5e-10 m) is below f32
+            # resolution -- without this floor f32 Newton always runs to the
+            # iteration cap even when converged to machine precision
+            newton_tol=(
+                max(self.cfg["newton_tol"], 4e-6)
+                if d == jnp.float32 else self.cfg["newton_tol"]
+            ),
             plastic=self.cfg["plastic"],
             grid_h=self.cfg["grid_h"],
             solver=self.cfg["solver"],
+            # f32 CG cannot reach the f64 default 1e-10 relative residual;
+            # ~1e-6 is the f32 floor (and plenty for the Newton loop)
+            cg_tol=1e-6 if d == jnp.float32 else 1e-10,
+            # smoothed block-Jacobi preconditioner: ~2.4x fewer CG
+            # iterations on the 10k-tri bench (see BASELINE.md)
+            precond_smooth=3 if self.cfg["solver"] == "cg" else 0,
             dtype=d,
         )
 

@@ -116,14 +116,33 @@ class DiaPlan:
     """Hybrid DIA (diagonal) storage plan for the regular part of the static
     Hessian. Dense offsets (cloth grid + cube lattices: dozens of distinct
     row->col vertex offsets covering ~all blocks) assemble into a
-    (n_off, NV+1, 3, 3) diagonal array once per Newton iteration; a CG
+    (3, 3, n_off, NV+1) diagonal array once per Newton iteration; a CG
     iteration is then static shifts + one einsum (no gathers). Rare offsets
-    (irregular tactile/ball tets) stay on the pull path."""
+    (irregular tactile/ball tets) stay on the pull path.
 
-    slot_src: Any   # (S,) int32 flat (e*16 + a*4 + b) into fused static blocks
-    slot_dst: Any   # (S,) int32 flat (off_id*(NV+1) + row)
+    Assembly is scatter/gather-free for the dominant regular part (XLA TPU
+    gathers/scatters move ~4 bytes per 2ns -- see BASELINE.md): cloth faces
+    and hinges are raster-ordered over the (N, M) cell grid, so each
+    (parity, class, a, b) family lands in its offset lane by a constant 2D
+    shift -- a static slice-add. Lattice/tactile tets (a tiny fraction of
+    blocks) use a compact per-row gather + one-hot MXU placement; anything
+    irregular stays on the pull path (leftover mask)."""
+
+    # tet sub-assembly: compact row gather + one-hot placement
+    row_tab: Any    # (Rn, Dr) int32 packed e*4 + a; sentinel = n_static*4
+    o_idx: Any      # (Rn, Dr*4) int32 dense-offset id; n_off = discard
+    rows: Any       # (Rn,) int32 global vertex row ids
+    # residual fallback for cloth classes that failed stencil verification
+    extra_ea: Any   # (X,) int32 packed e*4 + a
+    extra_rows: Any # (X,) int32 global vertex rows
     offsets: Tuple[int, ...] = static_field(default=())
     max_abs_off: int = static_field(default=0)
+    Dr: int = static_field(default=0)
+    # per-cloth stencil families:
+    # (N, M, v_off, f_base, h_base, fams, res_fams) with
+    # fams entries  (kind, c, a, b, o_id, i0, i1, j0, j1, di, dj, parity)
+    # res_fams      (kind, c, a,       i0, i1, j0, j1, di, dj, parity)
+    cloths: Tuple = static_field(default=())
 
 
 @pytree_dataclass
@@ -179,6 +198,11 @@ class SceneSpec:
     spd_method: str = static_field(default="eigh")  # 'eigh' | 'shift'
     cg_tol: float = static_field(default=1e-10)
     cg_max_iter: int = static_field(default=400)
+    # smoothed block-Jacobi preconditioner: k extra damped-Jacobi sweeps of
+    # the CHEAP operator (DIA + leftover + inertia + contact block diagonal)
+    # per CG application; 0 = plain block-Jacobi
+    precond_smooth: int = static_field(default=0)
+    precond_omega: float = static_field(default=0.8)
     dtype: Any = static_field(default=jnp.float64)
 
 

@@ -244,10 +244,17 @@ def all_groups(spec, params, pos, ref_angle, contact, with_hess=True, spd=True):
     if spec.tact.tets.shape[0]:
         _, gt = tact_eval(spec, params, pos, with_hess, spd)
         groups.append(gt)
+    # barrier + friction share the same 4-vertex stencil (triangle + query
+    # vertex): summing their blocks halves the dynamic-contact gather and
+    # scatter traffic in every CG matvec (SPD projection stays per-part,
+    # matching the reference which projects the 9x9 barrier and the 2x2
+    # friction core separately)
     _, gc = barrier_eval(spec, contact, pos, with_hess, spd)
-    groups.append(gc)
     _, gf = friction_eval(spec, contact, pos, with_hess, spd)
-    groups.append(gf)
+    merged = {"idx": gc["idx"], "g": gc["g"] + gf["g"]}
+    if with_hess:
+        merged["H"] = gc["H"] + gf["H"]
+    groups.append(merged)
     return fuse_groups(spec, groups, with_hess)
 
 
@@ -287,14 +294,65 @@ def fuse_groups(spec, groups, with_hess=True):
 
 def assemble_residual(spec, fused, pos, prev_pos, vel):
     """Global gradient of the incremental potential, with frozen DOFs zeroed
-    (reference compute_residual_and_Hessian:976-989 + apply_frozen)."""
+    (reference compute_residual_and_Hessian:976-989 + apply_frozen).
+
+    With a DiaPlan, the static part uses the scatter-free row gather
+    (plan.row_tab); only the dynamic contact part scatters."""
     X = pos - prev_pos - vel * spec.dt
     F = jnp.asarray(spec.mass)[:, None] * X / spec.dt**2
     F = F - jnp.asarray(spec.mass)[:, None] * jnp.asarray(spec.gravity)
     F = F - jnp.asarray(spec.ext_force)
-    Fp = jnp.concatenate([F, jnp.zeros((1, 3), F.dtype)], axis=0)
-    Fp = Fp.at[fused["idx"]].add(fused["g"])
-    return jnp.where(jnp.asarray(spec.frozen), 0.0, Fp[: spec.NV])
+    if spec.dia is not None:
+        plan = spec.dia
+        ns = static_block_count(spec)
+        g = fused["g"]
+        Fp = jnp.zeros((spec.NV + 1, 3), F.dtype)
+        import numpy as _np
+
+        for (N, M, v_off, fb, hb, fams, res_fams) in plan.cloths:
+            # transpose once so family slices are contiguous (see
+            # assemble_dia)
+            gf = jnp.transpose(
+                g[fb : fb + 2 * N * M].reshape(N, M, 2, 4, 3),
+                (2, 3, 4, 0, 1),
+            )  # (2, 4, 3, N, M)
+            gh = jnp.transpose(
+                g[hb : hb + 6 * N * M].reshape(N, M, 6, 4, 3),
+                (2, 3, 4, 0, 1),
+            )
+            ii, jj = _np.meshgrid(_np.arange(N), _np.arange(M),
+                                  indexing="ij")
+            par_np = ((ii + jj) % 2).astype(bool)
+            acc = jnp.zeros((3, N + 1, M + 1), F.dtype)
+            for (kind, cc, a, i0, i1, j0, j1, di, dj, par) in res_fams:
+                gg = gf if kind == 0 else gh
+                pm = jnp.asarray(
+                    (par_np[i0:i1, j0:j1] == bool(par)).astype(_np.float32),
+                    F.dtype,
+                )
+                acc = acc.at[:, i0 + di : i1 + di, j0 + dj : j1 + dj].add(
+                    gg[cc, a, :, i0:i1, j0:j1] * pm[None]
+                )
+            Fp = Fp.at[v_off : v_off + (N + 1) * (M + 1)].add(
+                acc.reshape(3, -1).T
+            )
+        gflat = jnp.concatenate(
+            [g[:ns].reshape(ns * 4, 3), jnp.zeros((1, 3), g.dtype)], axis=0
+        )
+        if plan.rows.shape[0]:
+            Fp = Fp.at[jnp.asarray(plan.rows)].add(
+                gflat[jnp.asarray(plan.row_tab)].sum(1)
+            )
+        if plan.extra_ea.shape[0]:
+            Fp = Fp.at[jnp.asarray(plan.extra_rows)].add(
+                gflat[jnp.asarray(plan.extra_ea)]
+            )
+        Fp = Fp.at[fused["idx"][ns:]].add(g[ns:])
+        F = F + Fp[: spec.NV]
+    else:
+        Fp = jnp.concatenate([F, jnp.zeros((1, 3), F.dtype)], axis=0)
+        F = Fp.at[fused["idx"]].add(fused["g"])[: spec.NV]
+    return jnp.where(jnp.asarray(spec.frozen), 0.0, F)
 
 
 def dense_hessian(spec, fused):
@@ -531,65 +589,371 @@ def hvp_pull(spec, nbr, fused, x):
     return y + yp[: spec.NV]
 
 
+def _padded_static_idx(spec):
+    """(ns, 4) numpy: fused-order element vertex ids, 3-vertex elements
+    padded with the ghost vertex NV (matching fuse_groups)."""
+    import numpy as _np
+
+    NV = spec.NV
+    f2v = _np.asarray(spec.cloth.f2v)
+    parts = [
+        _np.concatenate(
+            [f2v, _np.full((f2v.shape[0], 1), NV, f2v.dtype)], axis=1
+        ),
+        _np.asarray(spec.cloth.hinge_verts),
+    ]
+    for soup in (spec.neo, spec.tact):
+        t = _np.asarray(soup.tets)
+        if t.shape[0]:
+            parts.append(t)
+    return _np.concatenate(parts, axis=0)
+
+
+def _decompose_shift_candidates(rel: int, M: int):
+    """All (di, dj) splits of a flat vertex shift rel on the (N+1, M+1)
+    grid with dj in the stencil window [-3, 3]. Narrow grids alias flat
+    shifts, so the planner tries each candidate against the member set."""
+    out = []
+    for dj in range(-3, 4):
+        if (rel - dj) % (M + 1) == 0:
+            out.append(((rel - dj) // (M + 1), dj))
+    return out
+
+
+def _plan_cloth_stencils(spec):
+    """Per-cloth stencil families: verify that every (parity, class, vertex
+    slot) of the raster-ordered face/hinge soups sits at a constant shift
+    from the cell origin, and emit slice-add families for assembly. Classes
+    that fail verification are routed to the fallback lists."""
+    import numpy as _np
+
+    c = spec.cloth
+    NF_total = c.f2v.shape[0]
+    f2v = _np.asarray(c.f2v)
+    hv = _np.asarray(c.hinge_verts)
+    hm = _np.asarray(c.hinge_mask)
+
+    cloths = []
+    offsets = []
+
+    def o_id(o):
+        if o not in offsets:
+            offsets.append(o)
+        return offsets.index(o)
+
+    mem_cov = _np.zeros(NF_total, bool)      # class-level coverage per face
+    hinge_cov = _np.zeros(len(hm), bool)     # per hinge
+    extra_ea, extra_rows = [], []
+
+    for ci in range(c.n_cloths):
+        N, M = c.N[ci], c.M[ci]
+        v_off = c.offsets[ci]
+        fb = c.face_offsets[ci]
+        NFc = 2 * N * M
+        f_g = f2v[fb : fb + NFc].reshape(N, M, 2, 3)
+        h_g = hv[3 * fb : 3 * fb + 3 * NFc].reshape(N, M, 6, 4)
+        hm_g = hm[3 * fb : 3 * fb + 3 * NFc].reshape(N, M, 6)
+        ii, jj = _np.meshgrid(_np.arange(N), _np.arange(M), indexing="ij")
+        origin = v_off + ii * (M + 1) + jj
+        par_g = (ii + jj) % 2
+
+        fams, res_fams = [], []
+        for kind, varr, n_cls, act, kk in (
+            (0, f_g, 2, None, 3),
+            (1, h_g, 6, hm_g, 4),
+        ):
+            for par in (0, 1):
+                for cc in range(n_cls):
+                    members = par_g == par
+                    if act is not None:
+                        members = members & act[:, :, cc]
+                    if not members.any():
+                        continue
+                    rels, ok = [], True
+                    for a in range(kk):
+                        vals = (varr[:, :, cc, a] - origin)[members]
+                        if not (vals == vals[0]).all():
+                            ok = False
+                            break
+                        rels.append(int(vals[0]))
+                    regions = []
+                    if ok:
+                        mi, mj = _np.nonzero(members)
+                        for a in range(kk):
+                            found = None
+                            for di, dj in _decompose_shift_candidates(
+                                rels[a], M
+                            ):
+                                i0, i1 = max(0, -di), min(N, N + 1 - di)
+                                j0, j1 = max(0, -dj), min(M, M + 1 - dj)
+                                if (
+                                    i0 < i1 and j0 < j1
+                                    and not (mi < i0).any()
+                                    and not (mi >= i1).any()
+                                    and not (mj < j0).any()
+                                    and not (mj >= j1).any()
+                                ):
+                                    found = (i0, i1, j0, j1, di, dj)
+                                    break
+                            if found is None:
+                                ok = False
+                                break
+                            regions.append(found)
+                    if not ok:
+                        # fallback: residual scatter + leftover pull blocks
+                        mi, mj = _np.nonzero(members)
+                        if kind == 0:
+                            e_gl = fb + (mi * M + mj) * 2 + cc
+                            for a in range(kk):
+                                extra_ea.extend((e_gl * 4 + a).tolist())
+                                extra_rows.extend(
+                                    f2v[e_gl, a].tolist())
+                        else:
+                            h_gl = 3 * fb + (mi * M + mj) * 6 + cc
+                            e_gl = NF_total + h_gl
+                            for a in range(kk):
+                                extra_ea.extend((e_gl * 4 + a).tolist())
+                                extra_rows.extend(hv[h_gl, a].tolist())
+                        continue
+                    # coverage bookkeeping
+                    mi, mj = _np.nonzero(members)
+                    if kind == 0:
+                        mem_cov[fb + (mi * M + mj) * 2 + cc] = True
+                    else:
+                        hinge_cov[3 * fb + (mi * M + mj) * 6 + cc] = True
+                    for a in range(kk):
+                        i0, i1, j0, j1, di, dj = regions[a]
+                        res_fams.append(
+                            (kind, cc, a, i0, i1, j0, j1, di, dj, par))
+                        for b in range(kk):
+                            o = rels[b] - rels[a]
+                            fams.append((kind, cc, a, b, o_id(o),
+                                         i0, i1, j0, j1, di, dj, par))
+        cloths.append((N, M, v_off, fb, NF_total + 3 * fb,
+                       tuple(fams), tuple(res_fams)))
+    return (tuple(cloths), offsets, mem_cov, hinge_cov,
+            _np.asarray(extra_ea, _np.int64),
+            _np.asarray(extra_rows, _np.int64))
+
+
 def build_dia_plan(spec, min_count=64):
-    """Host-side hybrid DIA plan: vertex offsets (col - row) carrying at
-    least min_count static blocks go into the diagonal store; the rest
-    (irregular meshes) stay on the pull path. Returns (DiaPlan|None,
-    leftover_mask|None)."""
+    """Host-side hybrid DIA plan. Returns (DiaPlan|None, leftover_mask|None).
+
+    Three tiers (see DiaPlan docstring): cloth faces/hinges as 2D stencil
+    slice-adds; lattice/tactile tet blocks on offsets carrying >= min_count
+    blocks via a compact row gather + one-hot placement; everything else on
+    the pull path (leftover mask over the _enumerate_static_slots order)."""
     import numpy as _np
 
     from ..core.spec import DiaPlan
 
     NV = spec.NV
-    rows, e_arr, ab_arr, col_arr = _enumerate_static_slots(spec)
-    if len(rows) == 0:
+    if spec.cloth.f2v.shape[0] == 0:
         return None, None
-    off = col_arr - rows
-    uniq, counts = _np.unique(off, return_counts=True)
-    dense = uniq[counts >= min_count]
-    if len(dense) == 0 or len(dense) > 256:
+    # grids narrower than a TPU sublane (8) miscompile the stencil
+    # slice-adds inside the adjoint scan (observed TPU INTERNAL fault on
+    # the 16x4 folding cloth); such scenes are tiny -- use the pull path
+    if min(m + 1 for m in spec.cloth.M) < 8:
         return None, None
-    off_id = {int(o): i for i, o in enumerate(dense)}
-    in_dia = _np.isin(off, dense)
-    rows_d = rows[in_dia]
-    off_d = off[in_dia]
-    # vectorized id lookup
-    sorter = _np.argsort(dense)
-    id_of = sorter[_np.searchsorted(dense, off_d, sorter=sorter)]
-    slot_src = (e_arr[in_dia] * 16 + ab_arr[in_dia]).astype(_np.int32)
-    slot_dst = (id_of * (NV + 1) + rows_d).astype(_np.int32)
-    order = _np.argsort(slot_dst, kind="stable")
-    slot_src, slot_dst = slot_src[order], slot_dst[order]
+    (cloths, offsets, mem_cov, hinge_cov, extra_ea,
+     extra_rows) = _plan_cloth_stencils(spec)
+    if not offsets:
+        return None, None
+
+    # ---- tet sub-assembly: all tet (e, a) incidences, dense offsets only
+    ns = static_block_count(spec)
+    NF_total = spec.cloth.f2v.shape[0]
+    NH_total = spec.cloth.hinge_verts.shape[0]
+    tet_base = NF_total + NH_total
+    tets = []
+    for soup in (spec.neo, spec.tact):
+        t = _np.asarray(soup.tets)
+        if t.shape[0]:
+            tets.append(t)
+    neo_in = _np.zeros((4, 4, _np.asarray(spec.neo.tets).shape[0]), bool)
+    tact_in = _np.zeros((4, 4, _np.asarray(spec.tact.tets).shape[0]), bool)
+    if tets:
+        tet_idx = _np.concatenate(tets, axis=0)  # (T, 4) global vertex ids
+        T = tet_idx.shape[0]
+        off_all = (tet_idx[:, None, :] - tet_idx[:, :, None]).reshape(-1)
+        uniq, counts = _np.unique(off_all, return_counts=True)
+        dense_t = set(int(o) for o in uniq[counts >= min_count])
+        dense_t |= set(offsets)
+        for o in sorted(dense_t):
+            if o not in offsets:
+                offsets.append(o)
+        off_sorted = _np.sort(_np.asarray(offsets))
+        lane = {int(o): i for i, o in enumerate(offsets)}
+
+        # compact rows
+        rows_all = _np.unique(tet_idx.reshape(-1))
+        Rn = len(rows_all)
+        row_of = {int(v): i for i, v in enumerate(rows_all)}
+        inc = [[] for _ in range(Rn)]
+        for e_loc in range(T):
+            e_gl = tet_base + e_loc
+            for a in range(4):
+                inc[row_of[int(tet_idx[e_loc, a])]].append(e_gl * 4 + a)
+        Dr = max(len(x) for x in inc)
+        sentinel = ns * 4
+        row_tab = _np.full((Rn, Dr), sentinel, _np.int32)
+        for r, lst in enumerate(inc):
+            row_tab[r, : len(lst)] = lst
+        n_off = len(offsets)
+        o_idx = _np.full((Rn, Dr, 4), n_off, _np.int32)
+        tet_in = _np.zeros((T, 4, 4), bool)
+        for r, lst in enumerate(inc):
+            rv = int(rows_all[r])
+            for d, ea in enumerate(lst):
+                e_loc = ea // 4 - tet_base
+                a = ea % 4
+                for b in range(4):
+                    o = int(tet_idx[e_loc, b]) - rv
+                    if o in lane:
+                        o_idx[r, d, b] = lane[o]
+                        tet_in[e_loc, a, b] = True
+        nT_neo = neo_in.shape[2]
+        neo_in = _np.transpose(tet_in[:nT_neo], (1, 2, 0))
+        tact_in = _np.transpose(tet_in[nT_neo:], (1, 2, 0))
+        rows_arr = rows_all.astype(_np.int32)
+        o_idx = o_idx.reshape(Rn, Dr * 4)
+    else:
+        row_tab = _np.zeros((0, 1), _np.int32)
+        o_idx = _np.zeros((0, 4), _np.int32)
+        rows_arr = _np.zeros((0,), _np.int32)
+        Dr = 1
+
+    # ---- leftover mask in _enumerate_static_slots order
+    hm = _np.asarray(spec.cloth.hinge_mask)
+    parts = [
+        _np.concatenate(
+            [mem_cov for _ in range(9)]
+        ),
+        _np.concatenate(
+            [hinge_cov[hm] for _ in range(16)]
+        ),
+        neo_in.reshape(-1),
+        tact_in.reshape(-1),
+    ]
+    in_dia = _np.concatenate([p for p in parts if p.size])
+    if in_dia.size == 0:
+        return None, None
+
     plan = DiaPlan(
-        slot_src=slot_src,
-        slot_dst=slot_dst,
-        offsets=tuple(int(o) for o in dense),
-        max_abs_off=int(_np.abs(dense).max()),
+        row_tab=row_tab,
+        o_idx=o_idx,
+        rows=rows_arr,
+        extra_ea=extra_ea.astype(_np.int32),
+        extra_rows=extra_rows.astype(_np.int32),
+        offsets=tuple(int(o) for o in offsets),
+        max_abs_off=int(max(abs(int(o)) for o in offsets)),
+        Dr=Dr,
+        cloths=cloths,
     )
     return plan, ~in_dia
 
 
 def assemble_dia(spec, fused, dtype):
-    """(n_off, NV+1, 3, 3) diagonal store from the fused static blocks
-    (once per Newton iteration)."""
+    """(3, 3, n_off, NV+1) diagonal store from the fused static blocks
+    (once per Newton iteration): cloth families as static slice-adds, tet
+    blocks as a compact row gather + one-hot MXU placement. Scatter-free
+    except one tiny (Rn-row) lane write."""
+    import numpy as _np
+
     plan = spec.dia
     n_off = len(plan.offsets)
     NV = spec.NV
     ns = static_block_count(spec)
-    flat = fused["H"][:ns].reshape(ns * 16, 3, 3)
-    vals = flat[jnp.asarray(plan.slot_src)]
-    dia = jnp.zeros((n_off * (NV + 1), 3, 3), dtype)
-    dia = dia.at[jnp.asarray(plan.slot_dst)].add(
-        vals, indices_are_sorted=True
+    H = fused["H"]
+    # accumulate directly in the matvec layout (3, 3, n_off, NV+1)
+    dia = jnp.zeros((3, 3, n_off, NV + 1), dtype)
+
+    for (N, M, v_off, fb, hb, fams, _res) in plan.cloths:
+        # one transpose per soup so every family slice below is a
+        # CONTIGUOUS (3, 3, si, sj) block (strided mid-dim slices DMA ~50x
+        # slower on TPU)
+        Hf = jnp.transpose(
+            H[fb : fb + 2 * N * M].reshape(N, M, 2, 4, 4, 3, 3),
+            (2, 3, 4, 5, 6, 0, 1),
+        )  # (2, 4, 4, 3, 3, N, M)
+        Hh = jnp.transpose(
+            H[hb : hb + 6 * N * M].reshape(N, M, 6, 4, 4, 3, 3),
+            (2, 3, 4, 5, 6, 0, 1),
+        )
+        ii, jj = _np.meshgrid(_np.arange(N), _np.arange(M), indexing="ij")
+        par_np = ((ii + jj) % 2).astype(bool)
+        acc = jnp.zeros((3, 3, n_off, N + 1, M + 1), dtype)
+        for (kind, cc, a, b, o, i0, i1, j0, j1, di, dj, par) in fams:
+            Hg = Hf if kind == 0 else Hh
+            src = Hg[cc, a, b, :, :, i0:i1, j0:j1]
+            pm = jnp.asarray(
+                (par_np[i0:i1, j0:j1] == bool(par)).astype(_np.float32),
+                dtype,
+            )
+            acc = acc.at[
+                :, :, o, i0 + di : i1 + di, j0 + dj : j1 + dj
+            ].add(src * pm[None, None])
+        dia = dia.at[:, :, :, v_off : v_off + (N + 1) * (M + 1)].add(
+            acc.reshape(3, 3, n_off, -1)
+        )
+
+    if plan.rows.shape[0]:
+        Hea = H[:ns].reshape(ns * 4, 4, 3, 3)
+        Hea = jnp.concatenate(
+            [Hea, jnp.zeros((1, 4, 3, 3), Hea.dtype)], axis=0
+        )
+        vals = Hea[jnp.asarray(plan.row_tab)]  # (Rn, Dr, 4, 3, 3)
+        vals = vals.reshape(-1, plan.Dr * 4, 9).astype(dtype)
+        onehot = jax.nn.one_hot(
+            jnp.asarray(plan.o_idx), n_off + 1, dtype=dtype
+        )
+        part = jnp.einsum("rkc,rko->cor", vals, onehot)[:, :n_off]
+        dia = dia.at[:, :, :, jnp.asarray(plan.rows)].add(
+            part.reshape(3, 3, n_off, -1)
+        )
+    return dia
+
+
+def diag_blocks_dia(spec, fused, dia, nbr_left, return_contact=False):
+    """(NV, 3, 3) block diagonal extracted from the DIA store (offset-0
+    lane) + leftover pull diag + dynamic contact diag + inertia, with the
+    same frozen masking as diag_blocks. With return_contact, also returns
+    the contact-only diagonal (the smoothed preconditioner approximates the
+    contact term by its block diagonal)."""
+    NV = spec.NV
+    md = jnp.asarray(spec.mass)
+    unf = jnp.asarray(~spec.frozen, md.dtype)  # (NV, 3)
+    off0 = spec.dia.offsets.index(0)
+    D = jnp.transpose(dia[:, :, off0, :NV], (2, 0, 1))  # (NV, 3, 3)
+    D = D * unf[:, :, None] * unf[:, None, :]
+    sl = spec.hvp_slots
+    if sl is not None and sl.D > 0 and nbr_left is not None:
+        diag_m = (
+            jnp.asarray(sl.slot_col) == jnp.asarray(sl.row_ids)[:, None]
+        ).astype(md.dtype)
+        D = D.at[jnp.asarray(sl.row_ids)].add(
+            jnp.einsum("rd,rdij->rij", diag_m, nbr_left)
+        )
+    ns = static_block_count(spec)
+    idx = fused["idx"][ns:]
+    unf_p = jnp.concatenate([unf, jnp.zeros((1, 3), md.dtype)], axis=0)
+    Dp = jnp.zeros((NV + 1, 3, 3), md.dtype)
+    for a in range(4):
+        blk = fused["H"][ns:, a, a]
+        m = unf_p[idx[:, a]]
+        Dp = Dp.at[idx[:, a]].add(blk * m[:, :, None] * m[:, None, :])
+    D = D + Dp[:NV] + (md / spec.dt**2)[:, None, None] * jnp.eye(
+        3, dtype=md.dtype
     )
-    dia = dia.reshape(n_off, NV + 1, 3, 3)
-    # lane-friendly layout: the innermost (vectorized) dimension is NV
-    return jnp.transpose(dia, (2, 3, 0, 1))  # (3, 3, n_off, NV+1)
+    if return_contact:
+        return D, Dp[:NV]
+    return D
 
 
-def hvp_dia(spec, dia, nbr_left, fused, x):
-    """H @ x with the hybrid layout: DIA shifts+einsum for the regular
-    offsets, pull gather for the leftover, scatter for dynamic contact."""
+def hvp_dia_static(spec, dia, nbr_left, x):
+    """Static part of H @ x: DIA shifts+einsum for the regular offsets,
+    pull gather for the leftover, inertia diagonal. Frozen-masked. This is
+    also the cheap operator used by the smoothed preconditioner."""
     plan = spec.dia
     NV = spec.NV
     P = plan.max_abs_off
@@ -621,12 +985,29 @@ def hvp_dia(spec, dia, nbr_left, fused, x):
     if spec.hvp_slots is not None and spec.hvp_slots.D > 0:
         yr = _pull_apply(spec, nbr_left, xm)
         y = y.at[jnp.asarray(spec.hvp_slots.row_ids)].add(yr)
+    return y
 
-    # dynamic contact part
+
+def hvp_dia_contact(spec, fused, x):
+    """Dynamic contact part of H @ x (gather + scatter over the merged
+    contact group), frozen-masked."""
+    unf = jnp.concatenate(
+        [jnp.asarray(~spec.frozen, x.dtype), jnp.zeros((1, 3), x.dtype)]
+    )
+    xp = jnp.concatenate([x, jnp.zeros((1, 3), x.dtype)], axis=0)
+    xm = xp * unf
     ns = static_block_count(spec)
     idx = fused["idx"][ns:]
     Hd = fused["H"][ns:]
     contrib = jnp.einsum("eabij,ebj->eai", Hd, xm[idx])
     yp = jnp.zeros_like(xp)
     yp = yp.at[idx].add(contrib * unf[idx])
-    return y + yp[:NV]
+    return yp[: spec.NV]
+
+
+def hvp_dia(spec, dia, nbr_left, fused, x):
+    """H @ x with the hybrid layout: DIA shifts+einsum for the regular
+    offsets, pull gather for the leftover, scatter for dynamic contact."""
+    return hvp_dia_static(spec, dia, nbr_left, x) + hvp_dia_contact(
+        spec, fused, x
+    )

@@ -58,29 +58,54 @@ def solve_cg(spec: SceneSpec, groups, F):
     When the spec carries static HvpSlots, the static element blocks are
     gathered once into a pull layout so each CG iteration is gather+einsum
     (no scatter) plus a small dynamic contact scatter."""
-    D = elements.diag_blocks(spec, groups)
-    Dinv = _inv3x3(D)  # (NV, 3, 3) closed-form adjugate (no LU custom call)
-
-    def precond(r):
-        return jnp.einsum("nij,nj->ni", Dinv, r)
-
+    smooth = 0
     if spec.dia is not None:
         dia = elements.assemble_dia(spec, groups, F.dtype)
         if spec.hvp_slots is not None and spec.hvp_slots.D > 0:
             nbr_left = elements.gather_neighbor_blocks(spec, groups, F.dtype)
         else:
             nbr_left = None
+        D, Dc = elements.diag_blocks_dia(spec, groups, dia, nbr_left,
+                                         return_contact=True)
+        smooth = spec.precond_smooth
 
         def A(x):
             return elements.hvp_dia(spec, dia, nbr_left, groups, x)
+
+        def A_cheap(x):
+            # static part + contact block diagonal: the smoother operator
+            return elements.hvp_dia_static(spec, dia, nbr_left, x) + \
+                jnp.einsum("nij,nj->ni", Dc, x)
     elif spec.hvp_slots is not None:
         nbr = elements.gather_neighbor_blocks(spec, groups, F.dtype)
+        D = elements.diag_blocks(spec, groups)
 
         def A(x):
             return elements.hvp_pull(spec, nbr, groups, x)
     else:
+        D = elements.diag_blocks(spec, groups)
+
         def A(x):
             return elements.hvp(spec, groups, x)
+
+    Dinv = _inv3x3(D)  # (NV, 3, 3) closed-form adjugate (no LU custom call)
+
+    if smooth > 0:
+        w = spec.precond_omega
+
+        def precond(r):
+            # damped block-Jacobi smoothing of the cheap operator: a fixed
+            # symmetric polynomial in D^-1 A_cheap, so still a valid PCG
+            # preconditioner, but far closer to H^-1 than one Jacobi sweep
+            z = w * jnp.einsum("nij,nj->ni", Dinv, r)
+            for _ in range(smooth):
+                z = z + w * jnp.einsum(
+                    "nij,nj->ni", Dinv, r - A_cheap(z)
+                )
+            return z
+    else:
+        def precond(r):
+            return jnp.einsum("nij,nj->ni", Dinv, r)
 
     b = F
     bnorm = jnp.linalg.norm(b)
@@ -94,13 +119,19 @@ def solve_cg(spec: SceneSpec, groups, F):
 
     def cond(carry):
         x, r, z, p, rz, it = carry
-        return (jnp.sum(r * r) > tol2) & (it < spec.cg_max_iter)
+        rr = jnp.sum(r * r)
+        # the finite guard stops cleanly on f32 underflow/breakdown instead
+        # of poisoning x with NaNs
+        return (rr > tol2) & jnp.isfinite(rr) & (it < spec.cg_max_iter)
 
     def body(carry):
         x, r, z, p, rz, it = carry
         Ap = A(p)
         denom = jnp.sum(p * Ap)
         alpha = rz / jnp.where(jnp.abs(denom) > 1e-300, denom, 1e-300)
+        # breakdown guard: never poison x (the cond's finite check then
+        # terminates on the stalled residual)
+        alpha = jnp.where(jnp.isfinite(alpha), alpha, 0.0)
         x = x + alpha * p
         r = r - alpha * Ap
         z = precond(r)
@@ -125,7 +156,13 @@ def newton_solve(spec: SceneSpec, params, pos0, prev_pos, vel, ref_angle, contac
     Iteration structure mirrors the reference exactly: per iteration compute
     E0, residual and SPD-projected Hessian, solve H p = F, then backtracking
     line search halving alpha while E(x - alpha p) >= E0 (alpha > 1e-8);
-    terminate when max|p|/dt < tol or the iteration cap is reached."""
+    terminate when max|p|/dt < tol or the iteration cap is reached.
+
+    Two pure optimizations on top (same fixed point, fewer iterations /
+    energy evaluations): Newton starts from the inertia predictor x_hat
+    (reference get_x_hat, BaseScene.py:1291-1314, used there only as the
+    inertia target), and the accepted line-search energy is carried into the
+    next iteration instead of being recomputed."""
 
     energy = partial(
         elements.total_energy,
@@ -137,13 +174,18 @@ def newton_solve(spec: SceneSpec, params, pos0, prev_pos, vel, ref_angle, contac
         contact=contact,
     )
 
+    md = jnp.asarray(spec.mass)
+    x_hat = pos0 + vel * spec.dt + (
+        jnp.asarray(spec.gravity) + jnp.asarray(spec.ext_force) / md[:, None]
+    ) * spec.dt**2
+    start = jnp.where(jnp.asarray(spec.frozen), pos0, x_hat)
+
     def cond(carry):
-        pos, it, delta = carry
+        pos, E, it, delta = carry
         return (it < spec.max_newton_iter) & (delta >= spec.newton_tol)
 
     def body(carry):
-        pos, it, _ = carry
-        E0 = energy(pos)
+        pos, E0, it, _ = carry
         groups = elements.all_groups(spec, params, pos, ref_angle, contact,
                                      with_hess=True, spd=True)
         F = elements.assemble_residual(spec, groups, pos, prev_pos, vel)
@@ -151,23 +193,25 @@ def newton_solve(spec: SceneSpec, params, pos0, prev_pos, vel, ref_angle, contac
         delta = jnp.max(jnp.abs(p)) / spec.dt
 
         def ls_cond(c):
-            alpha, success = c
+            alpha, success, _E = c
             return (~success) & (alpha > spec.linesearch_min_alpha)
 
         def ls_body(c):
-            alpha, _ = c
+            alpha, _, _ = c
             E = energy(pos - alpha * p)
             success = E < E0
-            return jnp.where(success, alpha, alpha * 0.5), success
+            return jnp.where(success, alpha, alpha * 0.5), success, E
 
-        alpha, success = jax.lax.while_loop(
-            ls_cond, ls_body, (jnp.asarray(1.0, pos.dtype), False)
+        alpha, success, E_ls = jax.lax.while_loop(
+            ls_cond, ls_body, (jnp.asarray(1.0, pos.dtype), False, E0)
         )
         # on failure the reference leaves the last tried step applied
         applied = jnp.where(success, alpha, alpha * 2.0)
-        return pos - applied * p, it + 1, delta
+        new_pos = pos - applied * p
+        E_new = jax.lax.cond(success, lambda: E_ls, lambda: energy(new_pos))
+        return new_pos, E_new, it + 1, delta
 
-    pos, it, delta = jax.lax.while_loop(
-        cond, body, (pos0, 0, jnp.asarray(1e5, pos0.dtype))
+    pos, _E, it, delta = jax.lax.while_loop(
+        cond, body, (start, energy(start), 0, jnp.asarray(1e5, pos0.dtype))
     )
     return pos

@@ -118,13 +118,15 @@ class PPOTrainer:
 
     # ------------------------------------------------------------- training
 
-    def train(self, verbose=True):
+    def train(self, verbose=True, callback=None):
+        """callback(steps_done) is invoked after every policy update (the
+        EvalCallback hook of the reference SB3 trainer, training_env.py:86)."""
         env = self.env
         steps_done = 0
         ep_rewards = []
         obs = env.reset()
         while steps_done < self.total_steps:
-            traj = {k: [] for k in ("obs", "act", "rew", "val", "logp")}
+            traj = {k: [] for k in ("obs", "act", "rew", "val", "logp", "done")}
             for _ in range(self.horizon):
                 self.key, k = jax.random.split(self.key)
                 o = jnp.asarray(obs)
@@ -133,24 +135,25 @@ class PPOTrainer:
                 scaled = np.asarray(
                     jnp.clip(act, -1, 1) * self.action_scale, np.float64
                 )
-                obs2, rew, done = env.step(scaled)
+                obs2, rew, done = env.step(scaled)  # env auto-resets done envs
                 for key_, v in (("obs", o), ("act", act), ("rew", rew),
-                                ("val", val), ("logp", logp)):
+                                ("val", val), ("logp", logp), ("done", done)):
                     traj[key_].append(np.asarray(v))
                 obs = obs2
                 steps_done += env.n
-                if done.all():
+                if done.any():
                     ep_rewards.append(float(np.sum(traj["rew"][-1])))
-                    obs = env.reset()
-            # GAE
+            # GAE with episode-boundary masking (done envs bootstrap to 0)
             rew = np.stack(traj["rew"])  # (H, N)
             val = np.stack(traj["val"])
+            done_m = np.stack(traj["done"]).astype(rew.dtype)
             adv = np.zeros_like(rew)
             lastgaelam = 0.0
             for t in reversed(range(len(rew))):
                 next_val = val[t + 1] if t + 1 < len(rew) else val[t]
-                delta = rew[t] + self.gamma * next_val - val[t]
-                lastgaelam = delta + self.gamma * self.lam * lastgaelam
+                nonterm = 1.0 - done_m[t]
+                delta = rew[t] + self.gamma * next_val * nonterm - val[t]
+                lastgaelam = delta + self.gamma * self.lam * nonterm * lastgaelam
                 adv[t] = lastgaelam
             ret = adv + val
             adv = (adv - adv.mean()) / (adv.std() + 1e-8)
@@ -174,6 +177,8 @@ class PPOTrainer:
                 mean_r = float(np.mean(rew))
                 print(f"steps {steps_done}: mean step reward {mean_r:.4f}",
                       flush=True)
+            if callback is not None:
+                callback(steps_done)
         return self.state
 
     def act(self, obs):

@@ -110,6 +110,11 @@ class Env(gymnasium.Env if _GYM else object):
 class BatchedEnv:
     """N environments stepped as one vmapped batch on-device.
 
+    Per-env termination matches the reference env (RL_env.py step):
+    time limit OR check_early_stop (NaN / force-diverged states). Done
+    environments auto-reset to the initial state (the SB3 vec-env
+    convention), so envs may be at different episode times.
+
     API: reset() -> (N, obs); step((N, n_actions)) -> (obs, rew, done)."""
 
     def __init__(self, scene, n_envs: int, time_limit=100, reward_name=None):
@@ -119,28 +124,36 @@ class BatchedEnv:
         spec, params = scene.spec, scene.params
         reward_fn = registry.resolve_reward(scene, reward_name)
         n_part = scene.n_part
+        s0 = jax.tree.map(jnp.asarray, scene.state0)
 
-        def one(state, act):
+        def one(state, act, t):
             dpos = act[:, 0:3]
             drot = act[:, 3:6]
             new_state, _ = stepper.time_step(
                 spec, params, state,
                 (dpos, drot, jnp.zeros((n_part,), spec.dtype)),
             )
-            obs = observation(spec, new_state)
             rew = reward_fn(_state_buffers(scene, new_state))
-            return new_state, obs, rew
+            stop = (check_early_stop(spec, params, new_state, t, rl=True)
+                    if n_part else jnp.asarray(False))
+            done = stop | (t + 1 >= time_limit)
+            # auto-reset: done envs restart from state0 with t = 0
+            new_state = jax.tree.map(
+                lambda a, b: jnp.where(done, b, a), new_state, s0)
+            obs = observation(spec, new_state)
+            new_t = jnp.where(done, 0, t + 1)
+            return new_state, obs, rew, done, new_t
 
         self._step = jax.jit(jax.vmap(one))
         self.states = None
-        self.t = 0
+        self.t = None
 
     def reset(self):
         s0 = jax.tree.map(jnp.asarray, self.scene.state0)
         self.states = jax.tree.map(
             lambda x: jnp.broadcast_to(x[None], (self.n,) + x.shape), s0
         )
-        self.t = 0
+        self.t = jnp.zeros((self.n,), jnp.int32)
         obs = jax.vmap(lambda s: observation(self.scene.spec, s))(self.states)
         return np.asarray(obs, np.float32)
 
@@ -148,10 +161,10 @@ class BatchedEnv:
         acts = jnp.asarray(actions, self.scene.spec.dtype).reshape(
             self.n, self.scene.n_part, 6
         )
-        self.states, obs, rew = self._step(self.states, acts)
-        self.t += 1
-        done = np.full(self.n, self.t >= self.time_limit)
-        return (np.asarray(obs, np.float32), np.exp(np.asarray(rew)), done)
+        self.states, obs, rew, done, self.t = self._step(
+            self.states, acts, self.t)
+        return (np.asarray(obs, np.float32), np.exp(np.asarray(rew)),
+                np.asarray(done))
 
 
 def make_sb3_vec_env(sys_name, n_envs, **kwargs):
