@@ -147,3 +147,45 @@ def test_single_step_ift_exact(scene):
         if abs(fd) > 1e-6 or abs(an) > 1e-6:
             rel = abs(fd - an) / max(abs(fd), abs(an))
             assert rel < 5e-2, (dim, fd, an, rel)
+
+
+def test_static_friction_loss_seed(scene):
+    """static_friction_loss_pos_grad equals jax.grad of the implied scalar
+    loss 0.5*f_ratio*sum_c k_c |u_c(pos)|^2 with the contact frame (T, dx0,
+    k, gate) held fixed — the reference's semantics (BaseScene.py:733-776
+    evaluates u from live pos but treats const_T/const_dx0/const_k as
+    constants of the step)."""
+    from thinshelllab_tpu.engine.stepper import build_contacts
+
+    spec, params = scene.spec, scene.params
+    act = make_actions(4, scene.n_part, dz=-0.0006)
+    st, _ = stepper.rollout(spec, params, scene.state0, act)
+    contact, _, _ = build_contacts(spec, params, st.pos, st.pos,
+                                   st.proj_flag, st.proj_dir)
+    assert int(contact.active.sum()) > 0
+
+    # nudge pos tangentially so some contacts exceed the slip gate
+    pos = st.pos + jnp.asarray(
+        np.random.default_rng(1).normal(0, 1e-4, st.pos.shape))
+    f_ratio = 0.001
+    pg = adjoint.static_friction_loss_pos_grad(spec, contact, pos, f_ratio)
+    assert np.all(np.isfinite(np.asarray(pg)))
+
+    idx, w, T = contact.idx, contact.w, contact.T
+    x = pos[idx]
+    xc = jnp.einsum("ck,cki->ci", w, x[:, :3])
+    u0 = jnp.einsum("cti,ci->ct", T, x[:, 3] - xc - contact.dx0)
+    r0 = jnp.linalg.norm(u0, axis=1)
+    gate = contact.active & (r0 > spec.dt * spec.eps_v * 0.9)
+    assert int(gate.sum()) > 0, "need sliding contacts for a nonzero seed"
+
+    def loss(p):
+        xx = p[idx]
+        xc2 = jnp.einsum("ck,cki->ci", w, xx[:, :3])
+        u = jnp.einsum("cti,ci->ct", T, xx[:, 3] - xc2 - contact.dx0)
+        return 0.5 * f_ratio * jnp.sum(
+            jnp.where(gate, contact.k, 0.0) * jnp.sum(u * u, axis=1))
+
+    g_ref = jax.grad(loss)(pos)
+    np.testing.assert_allclose(np.asarray(pg), np.asarray(g_ref),
+                               rtol=1e-10, atol=1e-12)

@@ -114,6 +114,28 @@ def _contact_energy_backprop(spec, contact: ContactSet, pos_t, z):
     return out
 
 
+def static_friction_loss_pos_grad(spec, contact: ContactSet, pos_t,
+                                  f_loss_ratio):
+    """Slip-penalty loss seed: dL/dx_t += f_loss_ratio * k * (T^T u) at every
+    sticking contact whose tangential displacement exceeds 0.9*dt*eps_v
+    (reference BaseScene.static_friction_loss:733-776; dormant call site
+    analytic_grad_single.py:231). The Scene_pick.py:194 override's pressure
+    term telescopes to zero analytically (its weight vector [w0,w1,w2,-1]
+    sums to 0 for barycentric w), so the base form is the whole surface."""
+    idx, w, T, k = contact.idx, contact.w, contact.T, contact.k
+    x = pos_t[idx]
+    xc = jnp.einsum("ck,cki->ci", w, x[:, :3])
+    dx = x[:, 3] - xc - contact.dx0
+    u = jnp.einsum("cti,ci->ct", T, dx)
+    r = jnp.linalg.norm(u, axis=1)
+    gate = contact.active & (r > spec.dt * spec.eps_v * 0.9)
+    u3 = jnp.einsum("ct,cti->ci", u, T)  # back to 3D: T^T u
+    w1 = jnp.concatenate([-w, jnp.ones((w.shape[0], 1), w.dtype)], axis=1)
+    coef = jnp.where(gate, k * f_loss_ratio, 0.0)
+    contrib = coef[:, None, None] * w1[:, :, None] * u3[:, None, :]
+    return jnp.zeros_like(pos_t).at[idx].add(contrib)
+
+
 def _gather_gripper_grad(spec, rot_t, pad_local_t, tmp_z_frozen):
     """(n_part, 6) from the frozen-column vector (reference gather_grad)."""
     g = spec.gripper
@@ -177,6 +199,8 @@ def backward(
     vertical_only: bool = False,
     with_param_grad: bool = False,
     skip_steps: int = 0,
+    friction_loss: bool = False,
+    f_loss_ratio: float = 0.001,
 ) -> AdjointResult:
     """Run the backward sweep over a simulated trajectory.
 
@@ -208,6 +232,11 @@ def backward(
         contact, proj_flag, proj_dir = _rebuild_contact(
             spec, params, pos_tm1, proj_flag, proj_dir
         )
+
+        if friction_loss:  # reference AnalyticGrad(friction_loss=True)
+            pg_t = pg_t + static_friction_loss_pos_grad(
+                spec, contact, pos_t, f_loss_ratio
+            )
 
         # plastic chain a2ax at (pos_t, ref_{t-1})
         dth, theta = _hinge_grads(spec, pos_t)
