@@ -109,3 +109,38 @@ def _py_hinges(mesh, pos):
         del os.environ["TSL_NO_NATIVE"]
         native._tried = False
         native._lib = None
+
+
+def test_balance_warm_start_bundled():
+    """The bundled pre-grasped state (reference data/balance_state,
+    Scene_balancing.load_all:202-222) loads, has latched gripper contacts,
+    and holds the grasp through further steps."""
+    import os
+
+    from thinshelllab_tpu.scenes import balancing
+    from thinshelllab_tpu.utils import checkpoint
+
+    path = balancing.bundled_state_path()
+    assert os.path.exists(path), "balance_state.npz must ship with the repo"
+    sc = registry.make_scene("balancing", max_newton_iter=8)
+    st = checkpoint.load_state(path)
+    st = jax.tree.map(
+        lambda a, b: np.asarray(a, np.asarray(b).dtype), st, sc.state0)
+    assert int(np.asarray(st.proj_flag).sum()) > 0
+    assert float(np.asarray(st.gripper.dist).max()) < 0  # closed, not cold
+    T, n = 2, sc.n_part
+    acts = (jnp.zeros((T, n, 3)), jnp.zeros((T, n, 3)), jnp.zeros((T, n)))
+    final, _ = stepper.rollout(sc.spec, sc.params, st, acts)
+    pos = np.asarray(final.pos)
+    assert np.all(np.isfinite(pos))
+    # sheet stays pinched: cloth center z within a few mm of the grip plane
+    cloth_z = pos[: sc.spec.body_v_end[0], 2]
+    assert np.abs(cloth_z).max() < 0.02
+
+
+def test_make_grasped_state_smoke():
+    from thinshelllab_tpu.scenes import balancing
+
+    sc = registry.make_scene("balancing", max_newton_iter=6)
+    st = balancing.make_grasped_state(sc, close_steps=3, settle_steps=1)
+    assert np.all(np.isfinite(np.asarray(st.pos)))

@@ -52,13 +52,29 @@ def _make_scene(args):
     return registry.make_scene(args.env, **kwargs)
 
 
+def _default_load_state(args):
+    """Balancing/throwing default to the bundled pre-grasped state, like the
+    reference's `--load_state ../data/balance_state` default
+    (trajopt_balancing.py:23). Pass --load_state none to start cold."""
+    ls = getattr(args, "load_state", None)
+    if ls and ls.lower() == "none":
+        return None
+    if ls is None and args.env in ("balancing", "balance", "throwing"):
+        from .scenes.balancing import bundled_state_path
+
+        p = bundled_state_path()
+        return p if os.path.exists(p) else None
+    return ls
+
+
 def cmd_trajopt(args):
     from .render.engine import Renderer
     from .train.trajopt import TrajOptDriver
 
     scene = _make_scene(args)
-    if args.load_state:
-        _load_scene_state(scene, args.load_state)
+    ls = _default_load_state(args)
+    if ls:
+        _load_scene_state(scene, ls)
     save_dir = args.save_dir or f"imgs/traj_opt_{args.env}"
     drv = TrajOptDriver(scene, args.tot_step, lr=args.lr,
                         max_dist=args.max_dist, save_dir=save_dir)
@@ -113,8 +129,9 @@ def cmd_cmaes(args):
     from .train.cmaes import CMAESDriver
 
     scene = _make_scene(args)
-    if args.load_state:
-        _load_scene_state(scene, args.load_state)
+    ls = _default_load_state(args)
+    if ls:
+        _load_scene_state(scene, ls)
     skip = 5 if args.env == "interact" else 0
     drv = CMAESDriver(scene, args.tot_step, args.abs_step,
                       pop_size=args.pop_size, sigma=args.sigma,

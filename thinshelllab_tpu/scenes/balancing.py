@@ -100,3 +100,35 @@ def make(cloth_size=0.06, kb=100.0, mu_cloth_elastic=5.0, solver="dense",
     )
     sc.seed_loss_throwing = seed_loss_throwing
     return sc
+
+
+def make_grasped_state(scene, close_dist=-0.002, close_steps=10,
+                       settle_steps=5):
+    """Pre-grasp warm start: close the paired gripper onto the sheet, then
+    settle. Produces the equivalent of the reference's shipped
+    `data/balance_state` (half_gripper_dist.npy records -0.002 per part;
+    loaded by Scene_balancing.load_all:202-222 via the
+    `--load_state ../data/balance_state` default of
+    trajopt_balancing.py:23). Balancing/throwing trajopt depends on this —
+    gradients through an un-grasped sheet are zero."""
+    from ..engine import stepper
+
+    n_part = scene.n_part
+    T = close_steps + settle_steps
+    dd = np.zeros((T, n_part))
+    dd[:close_steps] = close_dist / close_steps
+    acts = (
+        jnp.zeros((T, n_part, 3), scene.spec.dtype),
+        jnp.zeros((T, n_part, 3), scene.spec.dtype),
+        jnp.asarray(dd, scene.spec.dtype),
+    )
+    st, _ = stepper.rollout(scene.spec, scene.params, scene.state0, acts)
+    return st
+
+
+def bundled_state_path():
+    """Path of the packaged pre-grasped warm start (may not exist yet)."""
+    import os
+
+    return os.path.join(os.path.dirname(__file__), "..", "data",
+                        "balance_state.npz")
