@@ -224,7 +224,15 @@ def backward(
         g1, g2, ar1, proj_flag, proj_dir, pgrad = carry
         pos_t = buffers["pos"][t]
         pos_tm1 = buffers["pos"][t - 1]
-        ref_tm1 = buffers["ref_angle"][t - 1]
+        # Reference parity: the backward evaluates the Hessian and the
+        # plastic yield gate at the POST-update ref angle of step t
+        # (transfer_grad calls copy_pos_and_refangle(self, step), and the
+        # forward's copy_pos runs after time_step->update_ref_angle, so
+        # ref_angle_buffer[step] = ref_t, not the ref_{t-1} the step's
+        # energy actually used). Consequence: at hinges that yielded in
+        # step t, |theta - ref_t| == k_angle exactly, so the reference's
+        # a2ax gate lands in the 0.1-leak branch -- reproduced here.
+        ref_t = buffers["ref_angle"][t]
 
         pg_t = jnp.clip(seed_pos_grad[t] + g1, -1000.0, 1000.0)
         ar_t = jnp.clip(seed_ar_grad[t] + ar1, -1000.0, 1000.0)
@@ -238,16 +246,16 @@ def backward(
                 spec, contact, pos_t, f_loss_ratio
             )
 
-        # plastic chain a2ax at (pos_t, ref_{t-1})
+        # plastic chain a2ax at (pos_t, ref_t)
         dth, theta = _hinge_grads(spec, pos_t)
-        yielded = jnp.abs(theta - ref_tm1) > k_angle
+        yielded = jnp.abs(theta - ref_t) > k_angle
         factor = jnp.where(yielded, 1.0, 0.1) * c.hinge_mask
         contrib = (ar_t * factor)[:, None, None] * dth
         pg_t = pg_t.at[c.hinge_verts].add(contrib)
         ar_next = ar_t * c.hinge_mask  # dL/dref_{t-1} pass-through
 
         # true Hessian at pos_t, solve H z = pg_t
-        groups = elements.all_groups(spec, params, pos_t, ref_tm1, contact,
+        groups = elements.all_groups(spec, params, pos_t, ref_t, contact,
                                      with_hess=True, spd=False)
         z = solver.solve_linear(spec, groups, pg_t)
 
@@ -270,7 +278,7 @@ def backward(
         if with_param_grad:
             z_masked = z * unfrozen
             pg_contrib = _param_residual_vjp(
-                spec, contact, pos_t, ref_tm1, z_masked, params
+                spec, contact, pos_t, ref_t, z_masked, params
             )
             pgrad = jax.tree.map(jnp.add, pgrad, pg_contrib)
 
