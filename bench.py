@@ -17,7 +17,10 @@ import os
 import sys
 import time
 
-REF_STEPS_PER_SEC = 0.5  # documented estimate, see BASELINE.md
+# measured upper bound on the CPU reference: its sparse solve alone costs
+# 0.228 s x 8 Newton iters/step at bench size (scripts/measure_ref_floor.py,
+# BASELINE.md) => <= 0.549 steps/s; 0.5 over-credits the reference
+REF_STEPS_PER_SEC = 0.5
 
 
 def main():

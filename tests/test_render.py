@@ -54,3 +54,30 @@ def test_luisa_export(scene, tmp_path):
     # obj models exported
     assert any(fn.endswith(".obj") for root, _, files in os.walk(tmp_path)
                for fn in files)
+
+
+def test_crease_mix_texture():
+    """get_mix_texture paints red (down) / blue (up) crease bands, fills the
+    whole image, and the Texture mix node emits the reference grammar
+    (convert_luisa.get_mix_texture:312-347, build_luisa_script mix export)."""
+    import numpy as np
+
+    from thinshelllab_tpu.render import textures
+    from thinshelllab_tpu.render.luisa import Texture
+
+    def judge(pij):
+        row = pij // 4
+        return "up" if row == 7 else "down" if row == 8 else None
+
+    img = textures.get_mix_texture(15, 3, judge, img_size=256)
+    assert img.shape == (256, 256, 3) and img.dtype == np.uint8
+    red = (img[:, :, 0] == 255) & (img[:, :, 1] == 0) & (img[:, :, 2] == 0)
+    blue = (img[:, :, 2] == 255) & (img[:, :, 0] == 0) & (img[:, :, 1] == 0)
+    assert red.sum() > 0 and blue.sum() > 0
+    assert (img.sum(axis=2) > 0).all()  # BFS fill leaves no black pixels
+
+    t = Texture(mix_top=Texture(constant=(1, 1, 1)),
+                mix_bottom=Texture(file="x.png"),
+                mix_factor=1.0, mix_method="multiply")
+    s = t.emit()
+    assert "mix {" in s and '"multiply"' in s and "x.png" in s

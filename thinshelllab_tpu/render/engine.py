@@ -92,6 +92,8 @@ class Renderer:
     # ---------------------------------------------------------------- luisa
 
     def _setup_luisa_shared(self):
+        from . import textures
+
         s = self.scripts.shared_script()
         cam_cfg = self.settings.get("camera", {})
         s.cameras.append(
@@ -108,14 +110,41 @@ class Renderer:
         s.environment = luisa.Environment(
             constant=(0.8, 0.8, 0.8), rotation=env_cfg.get("rotation", 0.0)
         )
-        for key, surf in _SURFACE_PRESETS.items():
+        # asset-pack image textures activate when the (externally
+        # downloaded) AssetLoader directory is available, matching the
+        # reference's render_engine.get_asset_* lookups
+        asset_dir = self.settings.get(
+            "asset_dir", os.environ.get("THINSHELL_ASSET_DIR"))
+        presets = dict(_SURFACE_PRESETS)
+        presets.update(textures.cloth_presets(asset_dir))
+        presets.update(textures.elastic_presets(asset_dir))
+        presets.update(textures.table_presets(asset_dir))
+        for key, surf in presets.items():
             s.surfaces[key] = surf
+        self._presets = presets
+
+        # crease-painted cloth textures (reference process_curve_mix):
+        # a cloth config with "curve": true gets a dedicated surface whose
+        # Kd multiplies the painted fold-line image over the base texture
+        for k, cfg in enumerate(self.settings.get("clothes", [])):
+            if not cfg.get("curve"):
+                continue
+            base = presets.get(cfg.get("type", "default"),
+                               presets["default"])
+            mix = textures.crease_mix_texture(
+                self.scene, k, base.kd or luisa.Texture(constant=(0.8,) * 3),
+                self.save_dir, name=f"crease_mix_{k}")
+            s.surfaces[f"cloth_{k}_curve"] = luisa.Surface(
+                kind=base.kind, kd=mix, roughness=base.roughness)
 
     def _body_surface(self, body_idx: int, is_cloth: bool, k: int) -> str:
         cfg_list = self.settings.get("clothes" if is_cloth else "elastics", [])
         if k < len(cfg_list):
-            t = cfg_list[k].get("type", "default")
-            if t in _SURFACE_PRESETS:
+            cfg = cfg_list[k]
+            if is_cloth and cfg.get("curve"):
+                return f"cloth_{k}_curve"
+            t = cfg.get("type", "default")
+            if t in getattr(self, "_presets", _SURFACE_PRESETS):
                 return t
         return "fabric_1" if is_cloth else "default"
 

@@ -22,24 +22,41 @@ def _v(x) -> str:
 
 @dataclasses.dataclass
 class Texture:
+    """Texture node covering the reference grammar's constant / image /
+    checkerboard / mix variants (build_luisa_script.LuisaTexture:113-155)."""
+
     constant: Optional[Tuple[float, ...]] = None
     file: Optional[str] = None
+    image_scale: float = 1.0
     checker_on: Optional["Texture"] = None
     checker_off: Optional["Texture"] = None
     checker_scale: float = 10.0
+    mix_top: Optional["Texture"] = None
+    mix_bottom: Optional["Texture"] = None
+    mix_factor: float = 1.0
+    mix_method: str = "multiply"  # add | substract | multiply | mix
 
     def emit(self, indent=1) -> str:
         t = "\t" * indent
         if self.constant is not None:
             return f"constant {{\n{t}\tv {{ {_v(self.constant)} }}\n{t}}}"
         if self.file is not None:
-            return f'image {{\n{t}\tfile {{ "{self.file}" }}\n{t}}}'
+            return (f'image {{\n{t}\tfile {{ "{self.file}" }}\n'
+                    f"{t}\tscale {{ {float(self.image_scale)} }}\n{t}}}")
         if self.checker_on is not None:
             return (
                 f"checkerboard {{\n"
                 f"{t}\ton {{ {self.checker_on.emit(indent + 1)} }}\n"
                 f"{t}\toff {{ {self.checker_off.emit(indent + 1)} }}\n"
                 f"{t}\tscale {{ {self.checker_scale} }}\n{t}}}"
+            )
+        if self.mix_top is not None:
+            return (
+                f"mix {{\n"
+                f"{t}\ttop {{ {self.mix_top.emit(indent + 1)} }}\n"
+                f"{t}\tbottom {{ {self.mix_bottom.emit(indent + 1)} }}\n"
+                f"{t}\tfactor {{ {float(self.mix_factor)} }}\n"
+                f'{t}\tmethod {{ "{self.mix_method}" }}\n{t}}}'
             )
         return "constant { v { 0.5, 0.5, 0.5 } }"
 

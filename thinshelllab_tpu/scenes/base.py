@@ -78,15 +78,19 @@ def observation(spec: SceneSpec, state: SimState, n_obs_cloth=4, n_obs_elastic=1
     for ci in range(c.n_cloths):
         N, M = c.N[ci], c.M[ci]
         off = c.offsets[ci]
-        n_s = max(N // 4, 1)
-        m_s = max(M // 4, 1)
+        n_s = N // 4
+        m_s = M // 4
         for j in range(n_obs_cloth):
             for k in range(n_obs_cloth):
                 jj = n_s // 2 + j * n_s
                 kk = m_s // 2 + k * m_s
-                # note: reference indexes jj * cloth_N + kk (BaseScene:1593)
-                vid = off + jj * (M + 1) + kk
-                vid = min(vid, off + (N + 1) * (M + 1) - 1)
+                # reference parity: BaseScene:1593 indexes jj*cloth_N + kk
+                # with cloth_N = N, NOT the (M+1) row stride its own mesh
+                # uses -- a skewed but deterministic sample set that RL
+                # policies were trained on; reproduced verbatim (clamped
+                # into the cloth for safety; in-range for every shipped
+                # scene).
+                vid = off + min(jj * N + kk, (N + 1) * (M + 1) - 1)
                 obs.append(state.pos[vid])
                 obs.append(state.vel[vid])
     for b in range(spec.n_bodies):
