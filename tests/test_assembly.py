@@ -84,3 +84,62 @@ def test_smoothed_preconditioner_solve_agrees_with_dense():
     rel = float(jnp.linalg.norm(p_cg - p_dn) /
                 (jnp.linalg.norm(p_dn) + 1e-30))
     assert rel < 1e-3
+
+
+def test_minres_matches_dense_on_true_hessian():
+    """solve_minres (the adjoint's indefinite-safe iterative solve) matches
+    the dense factorization on the TRUE (unprojected) Hessian at an
+    established-contact state."""
+    import jax
+    import jax.numpy as jnp
+
+    from thinshelllab_tpu.engine import elements, solver, stepper
+    from thinshelllab_tpu.scenes import folding
+
+    sc = folding.make(table_n=5, max_newton_iter=20)
+    spec, params = sc.spec, sc.params
+    T, n = 3, sc.n_part
+    dpos = np.zeros((T, n, 3))
+    dpos[:, :, 2] = -0.0006
+    acts = (jnp.asarray(dpos), jnp.zeros((T, n, 3)), jnp.zeros((T, n)))
+    st, _ = stepper.rollout(spec, params, sc.state0, acts)
+    contact, _, _ = stepper.build_contacts(spec, params, st.pos, st.pos,
+                                           st.proj_flag, st.proj_dir)
+    groups = elements.all_groups(spec, params, st.pos, st.ref_angle, contact,
+                                 with_hess=True, spd=False)
+    rng = np.random.default_rng(3)
+    g = jnp.asarray(rng.normal(0, 1, (spec.NV, 3)))
+    z_dense = solver.solve_dense(spec, groups, g)
+    z_minres = solver.solve_minres(spec, groups, g)
+    # the dense path zeroes frozen rows/cols; compare on unfrozen DOFs
+    unf = ~np.asarray(spec.frozen)
+    zd = np.asarray(z_dense)[unf]
+    zm = np.asarray(z_minres)[unf]
+    err = np.linalg.norm(zm - zd) / np.linalg.norm(zd)
+    assert err < 1e-6, err
+
+
+def test_hess_refresh_same_fixed_point():
+    """Modified Newton (hess_refresh=2, stale operator on odd iterations)
+    converges to the same solution as exact Newton, on the cg solver path."""
+    import jax
+    import jax.numpy as jnp
+
+    from thinshelllab_tpu.engine import stepper
+    from thinshelllab_tpu.scenes import bench_scene
+
+    sols = {}
+    for refresh in (1, 2):
+        sc = bench_scene.make(cloth_N=16, dtype=jnp.float64, solver="cg",
+                              max_newton_iter=30, hess_refresh=refresh)
+        T, n = 2, sc.n_part
+        acts = (jnp.zeros((T, n, 3)).at[:, :, 2].add(-4e-4),
+                jnp.zeros((T, n, 3)), jnp.zeros((T, n)))
+        st, _ = stepper.rollout(sc.spec, sc.params,
+                                jax.tree.map(jnp.asarray, sc.state0), acts)
+        sols[refresh] = np.asarray(st.pos)
+        assert np.all(np.isfinite(sols[refresh]))
+    err = np.abs(sols[2] - sols[1]).max()
+    # both runs stop inside the |p|/dt < newton_tol termination ball; the
+    # two iterates agree only up to a few multiples of that radius
+    assert err < 1e-6, err

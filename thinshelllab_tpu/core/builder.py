@@ -73,6 +73,7 @@ class SceneBuilder:
         plastic=False,
         grid_h=3e-3,
         contact_top_k=32,
+        hess_refresh=1,
     ):
         self.cfg = dict(
             dt=dt,
@@ -86,6 +87,7 @@ class SceneBuilder:
             solver=solver,
             plastic=plastic,
             dtype=dtype,
+            hess_refresh=hess_refresh,
         )
         self.gravity = np.asarray(gravity, np.float64)
         self.contact_top_k = contact_top_k
@@ -308,6 +310,7 @@ class SceneBuilder:
             # smoothed block-Jacobi preconditioner: ~2.4x fewer CG
             # iterations on the 10k-tri bench (see BASELINE.md)
             precond_smooth=3 if self.cfg["solver"] == "cg" else 0,
+            hess_refresh=self.cfg["hess_refresh"],
             dtype=d,
         )
 

@@ -203,6 +203,11 @@ class SceneSpec:
     # per CG application; 0 = plain block-Jacobi
     precond_smooth: int = static_field(default=0)
     precond_omega: float = static_field(default=0.8)
+    # modified Newton: rebuild the Hessian/preconditioner every k-th
+    # iteration (1 = every iteration, the reference behavior); intermediate
+    # iterations recompute only the residual against the stale operator.
+    # Same fixed point (termination is on |p|), fewer Hessian builds.
+    hess_refresh: int = static_field(default=1)
     dtype: Any = static_field(default=jnp.float64)
 
 

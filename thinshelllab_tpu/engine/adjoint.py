@@ -257,7 +257,8 @@ def backward(
         # true Hessian at pos_t, solve H z = pg_t
         groups = elements.all_groups(spec, params, pos_t, ref_t, contact,
                                      with_hess=True, spd=False)
-        z = solver.solve_linear(spec, groups, pg_t)
+        # the true Hessian can be indefinite: MINRES on the iterative path
+        z = solver.solve_adjoint(spec, groups, pg_t)
 
         tmp_z_frozen = elements.frozen_column_product(spec, groups, z)
         x_hat_grad = z * (spec.mass / spec.dt**2)[:, None] * unfrozen

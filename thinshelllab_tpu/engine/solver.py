@@ -52,41 +52,67 @@ def solve_dense(spec: SceneSpec, groups, F):
     return p.reshape(-1, 3)
 
 
+def prepare_solver_state(spec: SceneSpec, groups, dtype):
+    """Arrays (no closures) holding everything the iterative solve needs:
+    the DIA store / pull tables / preconditioner diagonals plus the fused
+    blocks for the dynamic contact part. Carried through the Newton loop so
+    modified-Newton iterations (spec.hess_refresh > 1) can reuse a stale
+    operator without reassembling it."""
+    st = {"H": groups["H"], "idx": jnp.asarray(groups["idx"])}
+    if spec.dia is not None:
+        st["dia"] = elements.assemble_dia(spec, groups, dtype)
+        if spec.hvp_slots is not None and spec.hvp_slots.D > 0:
+            st["nbr"] = elements.gather_neighbor_blocks(spec, groups, dtype)
+        D, Dc = elements.diag_blocks_dia(spec, groups, st["dia"],
+                                         st.get("nbr"), return_contact=True)
+        st["D"], st["Dc"] = D, Dc
+    elif spec.hvp_slots is not None:
+        st["nbr"] = elements.gather_neighbor_blocks(spec, groups, dtype)
+        st["D"] = elements.diag_blocks(spec, groups)
+    else:
+        st["D"] = elements.diag_blocks(spec, groups)
+    return st
+
+
+def _ops_from_state(spec: SceneSpec, st):
+    groups = {"idx": st["idx"], "H": st["H"]}
+    if spec.dia is not None:
+        nbr = st.get("nbr")
+
+        def A(x):
+            return elements.hvp_dia(spec, st["dia"], nbr, groups, x)
+
+        def A_cheap(x):
+            return elements.hvp_dia_static(spec, st["dia"], nbr, x) + \
+                jnp.einsum("nij,nj->ni", st["Dc"], x)
+
+        return A, A_cheap
+    if spec.hvp_slots is not None:
+        def A(x):
+            return elements.hvp_pull(spec, st["nbr"], groups, x)
+
+        return A, None
+
+    def A(x):
+        return elements.hvp(spec, groups, x)
+
+    return A, None
+
+
 def solve_cg(spec: SceneSpec, groups, F):
+    return solve_cg_prepared(
+        spec, prepare_solver_state(spec, groups, F.dtype), F)
+
+
+def solve_cg_prepared(spec: SceneSpec, st, F):
     """Block-Jacobi PCG on H p = F (H from element blocks, frozen-masked).
 
     When the spec carries static HvpSlots, the static element blocks are
     gathered once into a pull layout so each CG iteration is gather+einsum
     (no scatter) plus a small dynamic contact scatter."""
-    smooth = 0
-    if spec.dia is not None:
-        dia = elements.assemble_dia(spec, groups, F.dtype)
-        if spec.hvp_slots is not None and spec.hvp_slots.D > 0:
-            nbr_left = elements.gather_neighbor_blocks(spec, groups, F.dtype)
-        else:
-            nbr_left = None
-        D, Dc = elements.diag_blocks_dia(spec, groups, dia, nbr_left,
-                                         return_contact=True)
-        smooth = spec.precond_smooth
-
-        def A(x):
-            return elements.hvp_dia(spec, dia, nbr_left, groups, x)
-
-        def A_cheap(x):
-            # static part + contact block diagonal: the smoother operator
-            return elements.hvp_dia_static(spec, dia, nbr_left, x) + \
-                jnp.einsum("nij,nj->ni", Dc, x)
-    elif spec.hvp_slots is not None:
-        nbr = elements.gather_neighbor_blocks(spec, groups, F.dtype)
-        D = elements.diag_blocks(spec, groups)
-
-        def A(x):
-            return elements.hvp_pull(spec, nbr, groups, x)
-    else:
-        D = elements.diag_blocks(spec, groups)
-
-        def A(x):
-            return elements.hvp(spec, groups, x)
+    A, A_cheap = _ops_from_state(spec, st)
+    D = st["D"]
+    smooth = spec.precond_smooth if A_cheap is not None else 0
 
     Dinv = _inv3x3(D)  # (NV, 3, 3) closed-form adjugate (no LU custom call)
 
@@ -144,10 +170,90 @@ def solve_cg(spec: SceneSpec, groups, F):
     return x
 
 
+def solve_minres(spec: SceneSpec, groups, F):
+    """Preconditioned MINRES on H z = F for the adjoint's TRUE (unprojected,
+    possibly indefinite) Hessian solves.
+
+    The reference factors this system directly (sparse_solver.solve:85-105);
+    plain PCG on it stagnates at the iteration cap when negative curvature
+    is present (observed: 400-iteration cap hits in the backward sweep on
+    the 10k-tri bench). MINRES handles symmetric indefinite systems at the
+    same per-iteration cost. The preconditioner must be SPD, so the
+    block-Jacobi 3x3 diagonal is projected to |eigenvalue| with a relative
+    floor."""
+    st = prepare_solver_state(spec, groups, F.dtype)
+    A, _ = _ops_from_state(spec, st)
+    D = st["D"]
+    lam, Q = jnp.linalg.eigh(D)
+    mx = jnp.max(jnp.abs(lam), axis=-1, keepdims=True)
+    lam = jnp.maximum(jnp.abs(lam), 1e-6 * mx + 1e-30)
+    Dinv = jnp.einsum("nik,nk,njk->nij", Q, 1.0 / lam, Q)
+
+    def M(r):
+        return jnp.einsum("nij,nj->ni", Dinv, r)
+
+    b = F
+    y0 = M(b)
+    beta1 = jnp.sqrt(jnp.maximum(jnp.sum(b * y0), 1e-300))
+    tol = spec.cg_tol * beta1
+    d = F.dtype
+    zero = jnp.zeros_like(b)
+
+    # Paige-Saunders MINRES with left preconditioning (the scipy layout)
+    def cond(c):
+        (x, r1, r2, y, oldb, beta, dbar, epsln, phibar, cs, sn, w, w2,
+         it) = c
+        return (phibar > tol) & jnp.isfinite(phibar) & (it < spec.cg_max_iter)
+
+    def body(c):
+        (x, r1, r2, y, oldb, beta, dbar, epsln, phibar, cs, sn, w, w2,
+         it) = c
+        v = y / beta
+        yv = A(v)
+        yv = yv - jnp.where(it >= 1, beta / oldb, 0.0) * r1
+        alfa = jnp.sum(v * yv)
+        yv = yv - (alfa / beta) * r2
+        r1n, r2n = r2, yv
+        yn = M(r2n)
+        oldbn = beta
+        beta2 = jnp.sum(r2n * yn)
+        betan = jnp.sqrt(jnp.maximum(beta2, 1e-300))
+        oldeps = epsln
+        delta = cs * dbar + sn * alfa
+        gbar = sn * dbar - cs * alfa
+        epsn = sn * betan
+        dbarn = -cs * betan
+        gamma = jnp.maximum(jnp.sqrt(gbar**2 + betan**2), 1e-300)
+        csn = gbar / gamma
+        snn = betan / gamma
+        phi = csn * phibar
+        phibarn = snn * phibar
+        w1 = w2
+        w2n = w
+        wn = (v - oldeps * w1 - delta * w2n) / gamma
+        xn = x + phi * wn
+        return (xn, r1n, r2n, yn, oldbn, betan, dbarn, epsn, phibarn,
+                csn, snn, wn, w2n, it + 1)
+
+    init = (zero, b, b, y0, jnp.asarray(0.0, d), beta1, jnp.asarray(0.0, d),
+            jnp.asarray(0.0, d), beta1, jnp.asarray(-1.0, d),
+            jnp.asarray(0.0, d), zero, zero, 0)
+    out = jax.lax.while_loop(cond, body, init)
+    return out[0]
+
+
 def solve_linear(spec: SceneSpec, groups, F):
     if spec.solver == "dense":
         return solve_dense(spec, groups, F)
     return solve_cg(spec, groups, F)
+
+
+def solve_adjoint(spec: SceneSpec, groups, F):
+    """Linear solve for the backward sweep: direct on the dense path,
+    MINRES (indefinite-safe) on the iterative path."""
+    if spec.solver == "dense":
+        return solve_dense(spec, groups, F)
+    return solve_minres(spec, groups, F)
 
 
 def newton_solve(spec: SceneSpec, params, pos0, prev_pos, vel, ref_angle, contact):
@@ -180,18 +286,7 @@ def newton_solve(spec: SceneSpec, params, pos0, prev_pos, vel, ref_angle, contac
     ) * spec.dt**2
     start = jnp.where(jnp.asarray(spec.frozen), pos0, x_hat)
 
-    def cond(carry):
-        pos, E, it, delta = carry
-        return (it < spec.max_newton_iter) & (delta >= spec.newton_tol)
-
-    def body(carry):
-        pos, E0, it, _ = carry
-        groups = elements.all_groups(spec, params, pos, ref_angle, contact,
-                                     with_hess=True, spd=True)
-        F = elements.assemble_residual(spec, groups, pos, prev_pos, vel)
-        p = solve_linear(spec, groups, F)
-        delta = jnp.max(jnp.abs(p)) / spec.dt
-
+    def line_search(pos, p, E0):
         def ls_cond(c):
             alpha, success, _E = c
             return (~success) & (alpha > spec.linesearch_min_alpha)
@@ -209,6 +304,55 @@ def newton_solve(spec: SceneSpec, params, pos0, prev_pos, vel, ref_angle, contac
         applied = jnp.where(success, alpha, alpha * 2.0)
         new_pos = pos - applied * p
         E_new = jax.lax.cond(success, lambda: E_ls, lambda: energy(new_pos))
+        return new_pos, E_new
+
+    refresh = max(1, spec.hess_refresh)
+    if refresh > 1 and spec.solver != "dense":
+        # modified Newton: rebuild the operator (Hessian blocks, DIA store,
+        # preconditioner) every `refresh`-th iteration; in between, only the
+        # residual is fresh. Same fixed point -- termination tests |p| with
+        # p = H_stale^-1 F(x) and F -> 0 at the solution -- at roughly half
+        # the per-iteration assembly cost.
+        def op_of(pos):
+            groups = elements.all_groups(spec, params, pos, ref_angle,
+                                         contact, with_hess=True, spd=True)
+            return prepare_solver_state(spec, groups, pos.dtype)
+
+        def cond2(carry):
+            pos, E, it, delta, _op = carry
+            return (it < spec.max_newton_iter) & (delta >= spec.newton_tol)
+
+        def body2(carry):
+            pos, E0, it, _, op = carry
+            op = jax.lax.cond((it % refresh == 0) & (it > 0),
+                              op_of, lambda _: op, pos)
+            fg = elements.all_groups(spec, params, pos, ref_angle, contact,
+                                     with_hess=False, spd=False)
+            F = elements.assemble_residual(spec, fg, pos, prev_pos, vel)
+            p = solve_cg_prepared(spec, op, F)
+            delta = jnp.max(jnp.abs(p)) / spec.dt
+            new_pos, E_new = line_search(pos, p, E0)
+            return new_pos, E_new, it + 1, delta, op
+
+        pos, _E, it, delta, _ = jax.lax.while_loop(
+            cond2, body2,
+            (start, energy(start), 0, jnp.asarray(1e5, pos0.dtype),
+             op_of(start)),
+        )
+        return pos
+
+    def cond(carry):
+        pos, E, it, delta = carry
+        return (it < spec.max_newton_iter) & (delta >= spec.newton_tol)
+
+    def body(carry):
+        pos, E0, it, _ = carry
+        groups = elements.all_groups(spec, params, pos, ref_angle, contact,
+                                     with_hess=True, spd=True)
+        F = elements.assemble_residual(spec, groups, pos, prev_pos, vel)
+        p = solve_linear(spec, groups, F)
+        delta = jnp.max(jnp.abs(p)) / spec.dt
+        new_pos, E_new = line_search(pos, p, E0)
         return new_pos, E_new, it + 1, delta
 
     pos, _E, it, delta = jax.lax.while_loop(

@@ -13,7 +13,8 @@ from . import base, cloth_init
 
 
 def make(cloth_N=70, dtype=jnp.float32, solver="cg", max_newton_iter=8,
-         table_n=12, cg_max_iter=200, cg_tol=1e-6) -> base.TaskScene:
+         table_n=12, cg_max_iter=200, cg_tol=1e-6,
+         hess_refresh=1) -> base.TaskScene:
     N = M = cloth_N
     size = 0.1
     dx = size / N
@@ -28,6 +29,7 @@ def make(cloth_N=70, dtype=jnp.float32, solver="cg", max_newton_iter=8,
         plastic=False,
         solver=solver,
         dtype=dtype,
+        hess_refresh=hess_refresh,
     )
     cloth_pos = cloth_init.grid_flat(N, M, dx, -0.05, -0.05, 0.0006)
     cloth = b.add_cloth(N, M, size, rho=40.0, init_pos=cloth_pos)
