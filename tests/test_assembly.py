@@ -143,3 +143,4 @@ def test_hess_refresh_same_fixed_point():
     # both runs stop inside the |p|/dt < newton_tol termination ball; the
     # two iterates agree only up to a few multiples of that radius
     assert err < 1e-6, err
+

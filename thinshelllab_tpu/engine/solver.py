@@ -104,7 +104,7 @@ def solve_cg(spec: SceneSpec, groups, F):
         spec, prepare_solver_state(spec, groups, F.dtype), F)
 
 
-def solve_cg_prepared(spec: SceneSpec, st, F):
+def solve_cg_prepared(spec: SceneSpec, st, F, return_iters=False):
     """Block-Jacobi PCG on H p = F (H from element blocks, frozen-masked).
 
     When the spec carries static HvpSlots, the static element blocks are
@@ -167,30 +167,67 @@ def solve_cg_prepared(spec: SceneSpec, st, F):
         return x, r, z, p, rz_new, it + 1
 
     x, r, z, p, rz, it = jax.lax.while_loop(cond, body, (x0, r0, z0, p0, rz0, 0))
+    if return_iters:
+        return x, it
     return x
 
 
-def solve_minres(spec: SceneSpec, groups, F):
+def _abs_element_blocks(H):
+    """Element-wise matrix absolute value: each fused (4,4,3,3) block is
+    reshaped to its 12x12 symmetric form, eigen-decomposed, and rebuilt with
+    |eigenvalues|. |H_e| is PSD and spectrally equivalent to H_e away from
+    its null directions -- the right building block for an SPD MINRES
+    preconditioner of an indefinite assembled Hessian."""
+    E = H.shape[0]
+    H12 = H.transpose(0, 1, 3, 2, 4).reshape(E, 12, 12)
+    H12 = 0.5 * (H12 + jnp.swapaxes(H12, -1, -2))
+    w, v = jnp.linalg.eigh(H12)
+    H12 = jnp.einsum("eik,ek,ejk->eij", v, jnp.abs(w), v)
+    return H12.reshape(E, 4, 3, 4, 3).transpose(0, 1, 3, 2, 4)
+
+
+def solve_minres(spec: SceneSpec, groups, F, return_iters=False):
     """Preconditioned MINRES on H z = F for the adjoint's TRUE (unprojected,
     possibly indefinite) Hessian solves.
 
     The reference factors this system directly (sparse_solver.solve:85-105);
-    plain PCG on it stagnates at the iteration cap when negative curvature
-    is present (observed: 400-iteration cap hits in the backward sweep on
-    the 10k-tri bench). MINRES handles symmetric indefinite systems at the
-    same per-iteration cost. The preconditioner must be SPD, so the
-    block-Jacobi 3x3 diagonal is projected to |eigenvalue| with a relative
-    floor."""
+    plain PCG on it diverges when negative curvature is present and plain
+    block-Jacobi MINRES stagnates at the iteration cap (measured rel
+    residual 0.44 after 200 iters at bench size). MINRES handles symmetric
+    indefinite systems at CG's per-iteration cost, but needs an SPD
+    preconditioner that matches |H|: we assemble a SECOND operator from the
+    element-wise matrix absolute values |H_e| (PSD, spectrally close to the
+    total operator) and precondition with the same damped block-Jacobi
+    smoothing polynomial the forward CG uses -- a fixed symmetric polynomial
+    of an SPD operator, hence SPD."""
     st = prepare_solver_state(spec, groups, F.dtype)
     A, _ = _ops_from_state(spec, st)
-    D = st["D"]
+
+    # |H| preconditioner state (abs element blocks through the same
+    # DIA/pull assembly)
+    gp = {"idx": groups["idx"], "H": _abs_element_blocks(groups["H"])}
+    stp = prepare_solver_state(spec, gp, F.dtype)
+    _, A_pc_cheap = _ops_from_state(spec, stp)
+    D = stp["D"]
     lam, Q = jnp.linalg.eigh(D)
     mx = jnp.max(jnp.abs(lam), axis=-1, keepdims=True)
     lam = jnp.maximum(jnp.abs(lam), 1e-6 * mx + 1e-30)
     Dinv = jnp.einsum("nik,nk,njk->nij", Q, 1.0 / lam, Q)
 
-    def M(r):
-        return jnp.einsum("nij,nj->ni", Dinv, r)
+    smooth = spec.precond_smooth if A_pc_cheap is not None else 0
+    if smooth > 0:
+        wgt = spec.precond_omega
+
+        def M(r):
+            z = wgt * jnp.einsum("nij,nj->ni", Dinv, r)
+            for _ in range(smooth):
+                z = z + wgt * jnp.einsum(
+                    "nij,nj->ni", Dinv, r - A_pc_cheap(z)
+                )
+            return z
+    else:
+        def M(r):
+            return jnp.einsum("nij,nj->ni", Dinv, r)
 
     b = F
     y0 = M(b)
@@ -239,6 +276,8 @@ def solve_minres(spec: SceneSpec, groups, F):
             jnp.asarray(0.0, d), beta1, jnp.asarray(-1.0, d),
             jnp.asarray(0.0, d), zero, zero, 0)
     out = jax.lax.while_loop(cond, body, init)
+    if return_iters:
+        return out[0], out[-1]
     return out[0]
 
 
