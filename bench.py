@@ -34,8 +34,11 @@ def main():
     cloth_N = int(os.environ.get("BENCH_CLOTH_N", "70"))
     T = int(os.environ.get("BENCH_STEPS", "8"))
     dtype = jnp.float32 if os.environ.get("BENCH_DTYPE", "f32") == "f32" else jnp.float64
+    # modified-Newton operator staleness (same fixed point; see
+    # tests/test_assembly.py::test_hess_refresh_same_fixed_point)
+    refresh = int(os.environ.get("BENCH_HESS_REFRESH", "2"))
 
-    sc = bench_scene.make(cloth_N=cloth_N, dtype=dtype)
+    sc = bench_scene.make(cloth_N=cloth_N, dtype=dtype, hess_refresh=refresh)
     spec, params = sc.spec, sc.params
     n_tri = 2 * cloth_N * cloth_N
 

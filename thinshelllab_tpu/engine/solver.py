@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core.spec import SceneSpec
-from . import elements
+from . import elements, gridsolve
 
 
 def _inv3x3(A):
@@ -193,20 +193,21 @@ def solve_minres(spec: SceneSpec, groups, F, return_iters=False):
     The reference factors this system directly (sparse_solver.solve:85-105);
     plain PCG on it diverges when negative curvature is present and plain
     block-Jacobi MINRES stagnates at the iteration cap (measured rel
-    residual 0.44 after 200 iters at bench size). MINRES handles symmetric
-    indefinite systems at CG's per-iteration cost, but needs an SPD
-    preconditioner that matches |H|: we assemble a SECOND operator from the
-    element-wise matrix absolute values |H_e| (PSD, spectrally close to the
-    total operator) and precondition with the same damped block-Jacobi
-    smoothing polynomial the forward CG uses -- a fixed symmetric polynomial
-    of an SPD operator, hence SPD."""
+    residual 0.44 after 200 iters at bench size; the system is near-singular,
+    cond ~2e5). MINRES handles symmetric indefinite systems at CG's
+    per-iteration cost, but needs an SPD preconditioner spectrally close to
+    |H|: we assemble a SECOND operator from the element-wise matrix absolute
+    values |H_e| and solve its dominant cloth-grid part EXACTLY with the
+    block-cyclic-reduction factorization (gridsolve.GridPreconditioner),
+    block-Jacobi elsewhere. Scenes without a DIA cloth plan fall back to the
+    damped block-Jacobi smoothing polynomial / plain block-Jacobi."""
     st = prepare_solver_state(spec, groups, F.dtype)
     A, _ = _ops_from_state(spec, st)
 
     # |H| preconditioner state (abs element blocks through the same
     # DIA/pull assembly)
-    gp = {"idx": groups["idx"], "H": _abs_element_blocks(groups["H"])}
-    stp = prepare_solver_state(spec, gp, F.dtype)
+    gprec = {"idx": groups["idx"], "H": _abs_element_blocks(groups["H"])}
+    stp = prepare_solver_state(spec, gprec, F.dtype)
     _, A_pc_cheap = _ops_from_state(spec, stp)
     D = stp["D"]
     lam, Q = jnp.linalg.eigh(D)
@@ -214,8 +215,16 @@ def solve_minres(spec: SceneSpec, groups, F, return_iters=False):
     lam = jnp.maximum(jnp.abs(lam), 1e-6 * mx + 1e-30)
     Dinv = jnp.einsum("nik,nk,njk->nij", Q, 1.0 / lam, Q)
 
+    grid_plan = gridsolve.build_grid_plan(spec)
     smooth = spec.precond_smooth if A_pc_cheap is not None else 0
-    if smooth > 0:
+    if grid_plan and spec.dia is not None:
+        # exact BCR solve of the |H| cloth tridiagonal (+ contact diagonal,
+        # exact for frozen-body contacts); block-Jacobi elsewhere
+        pre = gridsolve.GridPreconditioner(
+            spec, grid_plan, stp["dia"], Dinv, stp.get("Dc")
+        )
+        M = pre.apply
+    elif smooth > 0:
         wgt = spec.precond_omega
 
         def M(r):
@@ -281,6 +290,52 @@ def solve_minres(spec: SceneSpec, groups, F, return_iters=False):
     return out[0]
 
 
+def solve_gmres(spec: SceneSpec, groups, F):
+    """Right-preconditioned GMRES on H z = F for the adjoint's TRUE
+    (unprojected) Hessian when the scene has a DIA cloth plan.
+
+    Measured structure at bench size (scripts + /tmp diagnostics, round 2):
+    the assembled H has only ~116 negative eigenvalues out of 15.8k DOF
+    (invertible; the reference LDL-solves it, sparse_solver.py:85-105), but
+    ~40% of ELEMENT blocks carry negative curvature -- so SPD
+    preconditioners built from per-element PSD surrogates (|H_e|, clamps)
+    are spectrally far from H and MINRES/CG stall at the iteration cap.
+    GMRES has no SPD requirement on the preconditioner, so we precondition
+    with the EXACT in-band operator: the block-cyclic-reduction
+    factorization of the true cloth tridiagonal (+ contact diagonal, exact
+    for frozen-body contacts), block-Jacobi elsewhere. M^-1 H = I + (small
+    off-band perturbation) -> convergence in tens of iterations."""
+    st = prepare_solver_state(spec, groups, F.dtype)
+    A, _ = _ops_from_state(spec, st)
+    D = st["D"]
+    lam, Q = jnp.linalg.eigh(D)
+    mx = jnp.max(jnp.abs(lam), axis=-1, keepdims=True)
+    lam = jnp.maximum(jnp.abs(lam), 1e-6 * mx + 1e-30)
+    Dinv = jnp.einsum("nik,nk,njk->nij", Q, 1.0 / lam, Q)
+    grid_plan = gridsolve.build_grid_plan(spec)
+    if grid_plan and spec.dia is not None:
+        ns = elements.static_block_count(spec)
+        slot_lists = gridsolve.contact_coupling_slots(spec, grid_plan)
+        dia_pc = gridsolve.add_contact_couplings(
+            spec, grid_plan, slot_lists, st["dia"],
+            groups["idx"][ns:], groups["H"][ns:],
+        )
+        pre = gridsolve.GridPreconditioner(
+            spec, grid_plan, dia_pc, Dinv, st.get("Dc")
+        )
+        M = pre.apply
+    else:
+        def M(r):
+            return jnp.einsum("nij,nj->ni", Dinv, r)
+    restart = min(spec.cg_max_iter, 48)
+    x, _ = jax.scipy.sparse.linalg.gmres(
+        A, F, tol=spec.cg_tol, atol=0.0, restart=restart,
+        maxiter=max(1, spec.cg_max_iter // restart), M=M,
+        solve_method="batched",
+    )
+    return x
+
+
 def solve_linear(spec: SceneSpec, groups, F):
     if spec.solver == "dense":
         return solve_dense(spec, groups, F)
@@ -288,10 +343,13 @@ def solve_linear(spec: SceneSpec, groups, F):
 
 
 def solve_adjoint(spec: SceneSpec, groups, F):
-    """Linear solve for the backward sweep: direct on the dense path,
-    MINRES (indefinite-safe) on the iterative path."""
+    """Linear solve for the backward sweep: direct on the dense path;
+    grid-preconditioned GMRES when a DIA cloth plan exists; MINRES with the
+    |H| preconditioner otherwise (indefinite-safe)."""
     if spec.solver == "dense":
         return solve_dense(spec, groups, F)
+    if spec.dia is not None and gridsolve.build_grid_plan(spec):
+        return solve_gmres(spec, groups, F)
     return solve_minres(spec, groups, F)
 
 
