@@ -23,7 +23,9 @@ def main():
     from thinshelllab_tpu.engine import adjoint, stepper
     from thinshelllab_tpu.scenes import bench_scene
 
-    sc = bench_scene.make(cloth_N=cloth_N, dtype=jnp.float32)
+    refresh = int(os.environ.get("BENCH_HESS_REFRESH", "2"))
+    sc = bench_scene.make(cloth_N=cloth_N, dtype=jnp.float32,
+                          hess_refresh=refresh)
     spec, params = sc.spec, sc.params
 
     if mode == "fwd":

@@ -144,3 +144,28 @@ def test_hess_refresh_same_fixed_point():
     # two iterates agree only up to a few multiples of that radius
     assert err < 1e-6, err
 
+
+
+def test_membrane_closed_hessian_matches_ad():
+    """membrane_hess_closed (exact closed form) vs forward-over-reverse AD
+    at f64 roundoff."""
+    import jax
+    import jax.numpy as jnp
+
+    from thinshelllab_tpu.engine import elements
+    from thinshelllab_tpu.ops import energies as en
+
+    rng = np.random.default_rng(0)
+    E = 64
+    x = jnp.asarray(rng.normal(0, 0.05, (E, 3, 3)))
+    l0 = jnp.asarray(np.abs(rng.normal(0.05, 0.01, (E, 3))) + 0.01)
+    A0 = jnp.asarray(np.abs(rng.normal(1e-3, 3e-4, (E,))) + 1e-4)
+    kl = jnp.asarray(np.abs(rng.normal(1000, 100, (E,))))
+    ka = jnp.asarray(np.abs(rng.normal(1000, 100, (E,))))
+    g_fn = jax.grad(en.membrane_energy)
+    H_ad = jnp.transpose(
+        jax.vmap(jax.jacfwd(g_fn))(x, l0, A0, kl, ka), (0, 1, 3, 2, 4)
+    )
+    H_cl = elements.membrane_hess_closed(x, l0, A0, kl, ka)
+    err = float(jnp.abs(H_cl - H_ad).max() / jnp.abs(H_ad).max())
+    assert err < 1e-12, err

@@ -38,6 +38,85 @@ def _face_params(spec: SceneSpec, params: Params):
     return kl, ka
 
 
+def _skew(v):
+    """(..., 3) -> (..., 3, 3) with skew(v) @ w = v x w."""
+    z = jnp.zeros_like(v[..., 0])
+    return jnp.stack(
+        [
+            jnp.stack([z, -v[..., 2], v[..., 1]], -1),
+            jnp.stack([v[..., 2], z, -v[..., 0]], -1),
+            jnp.stack([-v[..., 1], v[..., 0], z], -1),
+        ],
+        -2,
+    )
+
+
+def membrane_hess_closed(x, l0, rest_area, kl, ka):
+    """EXACT closed-form membrane Hessian blocks (E, 3, 3, 3, 3), layout
+    H[e, a, b] = d2E/dx_a dx_b -- replaces the 9-pass forward-over-reverse
+    AD (verified against it to f64 roundoff in tests/test_assembly.py).
+
+    Edge springs s(l) = kl (1 - l/l0)^2 l0 on d = x_a - x_b:
+        H_dd = s'' dh dh^T + (s'/l)(I - dh dh^T).
+    Area term p(A) = ka (1 - A/A0)^2 A0 with A = |c1 x c2|/2, c1 = x1-x0,
+    c2 = x2-x0:
+        d2E = p'' dA dA^T + p' d2A,
+        d2A = J_u^T (I - nh nh^T) J_v / (2|n|) -+ [nh]x / 2 cross blocks,
+        J1 = -[c2]x, J2 = [c1]x."""
+    dt_ = x.dtype
+    eye = jnp.eye(3, dtype=dt_)
+    Eb = x.shape[0]
+    H = jnp.zeros((Eb, 3, 3, 3, 3), dt_)
+    for l_ in range(3):
+        a, b = l_, (l_ + 1) % 3
+        d = x[:, a] - x[:, b]
+        ln = jnp.sqrt(jnp.sum(d * d, axis=1))
+        dh = d / ln[:, None]
+        P = dh[:, :, None] * dh[:, None, :]
+        spp = (2.0 * kl / l0[:, l_])[:, None, None]
+        spl = ((-2.0 * kl * (1.0 - ln / l0[:, l_])) / ln)[:, None, None]
+        Hd = spp * P + spl * (eye - P)
+        H = H.at[:, a, a].add(Hd)
+        H = H.at[:, b, b].add(Hd)
+        H = H.at[:, a, b].add(-Hd)
+        H = H.at[:, b, a].add(-Hd)
+
+    c1 = x[:, 1] - x[:, 0]
+    c2 = x[:, 2] - x[:, 0]
+    n = jnp.cross(c1, c2)
+    nn = jnp.linalg.norm(n, axis=1)
+    nh = n / nn[:, None]
+    A = 0.5 * nn
+    p1 = (-2.0 * ka * (1.0 - A / rest_area))[:, None, None]   # p'
+    p2 = (2.0 * ka / rest_area)[:, None, None]                # p''
+    g1 = 0.5 * jnp.cross(c2, nh)
+    g2 = 0.5 * jnp.cross(nh, c1)
+    P = eye - nh[:, :, None] * nh[:, None, :]
+    S1 = _skew(c1)
+    S2 = _skew(c2)
+    Sn = _skew(nh)
+    inv2n = (0.5 / nn)[:, None, None]
+    PS1 = jnp.einsum("eij,ejk->eik", P, S1)
+    PS2 = jnp.einsum("eij,ejk->eik", P, S2)
+    K11 = -jnp.einsum("eij,ejk->eik", S2, PS2) * inv2n
+    K12 = jnp.einsum("eij,ejk->eik", S2, PS1) * inv2n
+    K22 = -jnp.einsum("eij,ejk->eik", S1, PS1) * inv2n
+    C11 = p2 * g1[:, :, None] * g1[:, None, :] + p1 * K11
+    C12 = p2 * g1[:, :, None] * g2[:, None, :] + p1 * (K12 - 0.5 * Sn)
+    C22 = p2 * g2[:, :, None] * g2[:, None, :] + p1 * K22
+    C21 = jnp.swapaxes(C12, -1, -2)
+    H = H.at[:, 1, 1].add(C11)
+    H = H.at[:, 1, 2].add(C12)
+    H = H.at[:, 2, 1].add(C21)
+    H = H.at[:, 2, 2].add(C22)
+    H = H.at[:, 0, 1].add(-(C11 + C21))
+    H = H.at[:, 0, 2].add(-(C12 + C22))
+    H = H.at[:, 1, 0].add(-(C11 + C12))
+    H = H.at[:, 2, 0].add(-(C21 + C22))
+    H = H.at[:, 0, 0].add(C11 + C12 + C21 + C22)
+    return H
+
+
 def membrane_eval(spec, params, pos, with_hess: bool, spd: bool):
     c = spec.cloth
     x = pos[c.f2v]  # (E, 3, 3)
@@ -51,9 +130,7 @@ def membrane_eval(spec, params, pos, with_hess: bool, spd: bool):
     g = jax.vmap(g_fn)(x, c.l0, c.rest_area, kl, ka)
     out = {"idx": c.f2v, "g": g}
     if with_hess:
-        H = jax.vmap(jax.jacfwd(g_fn))(x, c.l0, c.rest_area, kl, ka)  # (E,3,3,3,3)
-        # layout (a, i, b, j) -> (a, b, i, j)
-        H = jnp.transpose(H, (0, 1, 3, 2, 4))
+        H = membrane_hess_closed(x, c.l0, c.rest_area, kl, ka)
         if spd:
             H9 = H.transpose(0, 1, 3, 2, 4).reshape(-1, 9, 9)
             H9 = project_psd_method(H9, spec.spd_method)

@@ -327,13 +327,95 @@ def solve_gmres(spec: SceneSpec, groups, F):
     else:
         def M(r):
             return jnp.einsum("nij,nj->ni", Dinv, r)
-    restart = min(spec.cg_max_iter, 48)
-    x, _ = jax.scipy.sparse.linalg.gmres(
-        A, F, tol=spec.cg_tol, atol=0.0, restart=restart,
-        maxiter=max(1, spec.cg_max_iter // restart), M=M,
-        solve_method="batched",
+    restart = min(spec.cg_max_iter, 64)
+    return _gmres_loop(A, M, F, spec.cg_tol, restart)
+
+
+def _gmres_loop(A, M, b, tol, m):
+    """Right-preconditioned incremental GMRES(m), single cycle, with
+    per-iteration early exit (jax.scipy's 'batched' variant always runs the
+    full restart cycle; at the f32 residual floor that wastes ~40% of the
+    iterations). Solves A (M y) = b, returns x = M y.
+
+    Modified Gram-Schmidt over a fixed (m+1)-slot basis buffer, Givens
+    recurrence for the running residual estimate; the least-squares system
+    is solved once at exit by back-substitution on the rotated H."""
+    n = b.size
+    d = b.dtype
+    shape = b.shape
+    b_f = b.reshape(-1)
+    bnorm = jnp.linalg.norm(b_f)
+    tol_abs = tol * bnorm
+
+    V = jnp.zeros((m + 1, n), d)
+    H = jnp.zeros((m + 1, m), d)
+    cs = jnp.zeros((m,), d)
+    sn = jnp.zeros((m,), d)
+    g = jnp.zeros((m + 1,), d)
+
+    beta = bnorm
+    V = V.at[0].set(b_f / jnp.maximum(beta, 1e-300))
+    g = g.at[0].set(beta)
+
+    def cond(carry):
+        V, H, cs, sn, g, k, res = carry
+        return (res > tol_abs) & (k < m) & jnp.isfinite(res)
+
+    def body(carry):
+        V, H, cs, sn, g, k, _res = carry
+        v = jax.lax.dynamic_index_in_dim(V, k, keepdims=False)
+        w = A(M(v.reshape(shape))).reshape(-1)
+        # modified Gram-Schmidt against the filled basis (masked full dot)
+        mask = (jnp.arange(m + 1) <= k).astype(d)
+        h = (V @ w) * mask
+        w = w - h @ V
+        # one re-orthogonalization pass for f32 robustness
+        h2 = (V @ w) * mask
+        w = w - h2 @ V
+        h = h + h2
+        wn = jnp.linalg.norm(w)
+        H = H.at[:, k].set(h)
+        H = H.at[k + 1, k].set(wn)
+        V = V.at[k + 1].set(w / jnp.maximum(wn, 1e-300))
+        # apply existing Givens rotations to the new column
+        def rot(i, Hc):
+            hi = Hc[i]
+            hip = Hc[i + 1]
+            return Hc.at[i].set(cs[i] * hi + sn[i] * hip).at[i + 1].set(
+                -sn[i] * hi + cs[i] * hip
+            )
+        Hc = jax.lax.fori_loop(0, k, rot, H[:, k])
+        # new rotation to zero Hc[k+1]
+        denom = jnp.sqrt(Hc[k] ** 2 + Hc[k + 1] ** 2)
+        denom = jnp.maximum(denom, 1e-300)
+        c_new = Hc[k] / denom
+        s_new = Hc[k + 1] / denom
+        Hc = Hc.at[k].set(denom).at[k + 1].set(0.0)
+        H = H.at[:, k].set(Hc)
+        cs = cs.at[k].set(c_new)
+        sn = sn.at[k].set(s_new)
+        gk = g[k]
+        g = g.at[k].set(c_new * gk).at[k + 1].set(-s_new * gk)
+        return V, H, cs, sn, g, k + 1, jnp.abs(g[k + 1])
+
+    V, H, cs, sn, g, k, res = jax.lax.while_loop(
+        cond, body, (V, H, cs, sn, g, 0, beta)
     )
-    return x
+
+    # back-substitution on the k x k upper-triangular system (masked to the
+    # filled size; unfilled diagonal entries are replaced by 1 with zero rhs)
+    filled = jnp.arange(m) < k
+    diag = jnp.where(filled, jnp.diagonal(H[:m, :m]), 1.0)
+    rhs = jnp.where(filled, g[:m], 0.0)
+
+    def back(i_rev, y):
+        i = m - 1 - i_rev
+        yi = (rhs[i] - H[i, :m] @ y) / diag[i]
+        return y.at[i].set(jnp.where(filled[i], yi, 0.0))
+
+    y = jax.lax.fori_loop(0, m, back, jnp.zeros((m,), d))
+    x = (y @ V[:m]).reshape(shape)
+    return M(x)
 
 
 def solve_linear(spec: SceneSpec, groups, F):
