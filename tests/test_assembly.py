@@ -169,3 +169,4 @@ def test_membrane_closed_hessian_matches_ad():
     H_cl = elements.membrane_hess_closed(x, l0, A0, kl, ka)
     err = float(jnp.abs(H_cl - H_ad).max() / jnp.abs(H_ad).max())
     assert err < 1e-12, err
+

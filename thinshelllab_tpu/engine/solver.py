@@ -358,11 +358,16 @@ def _gmres_loop(A, M, b, tol, m):
     g = g.at[0].set(beta)
 
     def cond(carry):
-        V, H, cs, sn, g, k, res = carry
-        return (res > tol_abs) & (k < m) & jnp.isfinite(res)
+        V, H, cs, sn, g, k, res, best, stall = carry
+        # stagnation exit: at the f32 residual floor (measured ~7e-4 at
+        # bench size) the target tol may be unreachable; stop once 8
+        # consecutive iterations fail to improve the best residual by 3%
+        return (
+            (res > tol_abs) & (k < m) & jnp.isfinite(res) & (stall < 8)
+        )
 
     def body(carry):
-        V, H, cs, sn, g, k, _res = carry
+        V, H, cs, sn, g, k, _res, best, stall = carry
         v = jax.lax.dynamic_index_in_dim(V, k, keepdims=False)
         w = A(M(v.reshape(shape))).reshape(-1)
         # modified Gram-Schmidt against the filled basis (masked full dot)
@@ -396,10 +401,14 @@ def _gmres_loop(A, M, b, tol, m):
         sn = sn.at[k].set(s_new)
         gk = g[k]
         g = g.at[k].set(c_new * gk).at[k + 1].set(-s_new * gk)
-        return V, H, cs, sn, g, k + 1, jnp.abs(g[k + 1])
+        res = jnp.abs(g[k + 1])
+        improved = res < 0.97 * best
+        best = jnp.minimum(best, res)
+        stall = jnp.where(improved, 0, stall + 1)
+        return V, H, cs, sn, g, k + 1, res, best, stall
 
-    V, H, cs, sn, g, k, res = jax.lax.while_loop(
-        cond, body, (V, H, cs, sn, g, 0, beta)
+    V, H, cs, sn, g, k, res, _best, _stall = jax.lax.while_loop(
+        cond, body, (V, H, cs, sn, g, 0, beta, beta, 0)
     )
 
     # back-substitution on the k x k upper-triangular system (masked to the
