@@ -11,8 +11,9 @@ near machine precision (1e-9 relative, f64).
 Oracle provenance (what is re-derived vs reused):
   re-derived here in numpy, straight from the reference kernels:
     - clamp ordering (Grad.clamp_grad:178)
-    - plastic a2ax chain with the 0.1 leak + post-update-ref yield gate
-      (model_fold_offset.ref_angle_backprop_a2ax:1180-1209)
+    - plastic a2ax chain with the 0.1 leak, yield gate at the step's own
+      (pre-update) ref angle, ref_angle_buffer[step-1]
+      (model_fold_offset.ref_angle_backprop_a2ax:1180-1209; BaseScene.py:290)
     - bending ref chain x2a (model_fold_offset.ref_angle_backprop_x2a:1155)
     - friction pressure + rest-offset chains
       (BaseScene.contact_energy_backprop:682-730, f1/f2 from :463-478)
@@ -83,7 +84,9 @@ def oracle_backward(scene, buffers, seed_pos, seed_ar, damping=1.0):
 
     for t in range(T - 1, 0, -1):
         pos_t = np.asarray(buffers["pos"][t])
-        ref_t = np.asarray(buffers["ref_angle"][t])  # POST-update ref
+        # copy_pos_and_refangle loads ref_angle_buffer[step - 1]
+        # (BaseScene.py:290): the ref angle step t's energy actually used.
+        ref_t = np.asarray(buffers["ref_angle"][t - 1])
         # clamp_grad(step)
         pg[t] = np.clip(pg[t], -1000, 1000)
         ar[t] = np.clip(ar[t], -1000, 1000)

@@ -224,15 +224,13 @@ def backward(
         g1, g2, ar1, proj_flag, proj_dir, pgrad = carry
         pos_t = buffers["pos"][t]
         pos_tm1 = buffers["pos"][t - 1]
-        # Reference parity: the backward evaluates the Hessian and the
-        # plastic yield gate at the POST-update ref angle of step t
-        # (transfer_grad calls copy_pos_and_refangle(self, step), and the
-        # forward's copy_pos runs after time_step->update_ref_angle, so
-        # ref_angle_buffer[step] = ref_t, not the ref_{t-1} the step's
-        # energy actually used). Consequence: at hinges that yielded in
-        # step t, |theta - ref_t| == k_angle exactly, so the reference's
-        # a2ax gate lands in the 0.1-leak branch -- reproduced here.
-        ref_t = buffers["ref_angle"][t]
+        # Reference parity: copy_pos_and_refangle(self, step) loads
+        # ref_angle_buffer[step - 1] (BaseScene.py:290, the copy_refangle
+        # call uses step - 1) = the post-update ref of step t-1 = the ref
+        # angle step t's energy actually used. The Hessian and the plastic
+        # a2ax yield gate are both evaluated at this PRE-update (w.r.t.
+        # step t) ref angle.
+        ref_t = buffers["ref_angle"][t - 1]
 
         pg_t = jnp.clip(seed_pos_grad[t] + g1, -1000.0, 1000.0)
         ar_t = jnp.clip(seed_ar_grad[t] + ar1, -1000.0, 1000.0)

@@ -328,14 +328,21 @@ def solve_gmres(spec: SceneSpec, groups, F):
         def M(r):
             return jnp.einsum("nij,nj->ni", Dinv, r)
     restart = min(spec.cg_max_iter, 64)
-    return _gmres_loop(A, M, F, spec.cg_tol, restart)
+    return _gmres_loop(A, M, F, spec.cg_tol, restart, spec.cg_max_iter)
 
 
-def _gmres_loop(A, M, b, tol, m):
-    """Right-preconditioned incremental GMRES(m), single cycle, with
-    per-iteration early exit (jax.scipy's 'batched' variant always runs the
-    full restart cycle; at the f32 residual floor that wastes ~40% of the
-    iterations). Solves A (M y) = b, returns x = M y.
+def _gmres_loop(A, M, b, tol, m, max_total=None):
+    """Right-preconditioned restarted GMRES(m). The total iteration budget is
+    max_total (spec.cg_max_iter): a cycle that exhausts its m-slot basis
+    without converging or stalling restarts from the true residual
+    b - A x, so cg_max_iter is honored rather than silently truncated to one
+    cycle. A cycle that exits via the stagnation test (8 non-improving
+    iterations -- the f32 residual floor) stops the outer loop too: further
+    restarts cannot improve on the floor.
+
+    Each cycle solves A (M y) = r with per-iteration early exit
+    (jax.scipy's 'batched' variant always runs the full restart cycle; at
+    the f32 residual floor that wastes ~40% of the iterations).
 
     Modified Gram-Schmidt over a fixed (m+1)-slot basis buffer, Givens
     recurrence for the running residual estimate; the least-squares system
@@ -346,85 +353,105 @@ def _gmres_loop(A, M, b, tol, m):
     b_f = b.reshape(-1)
     bnorm = jnp.linalg.norm(b_f)
     tol_abs = tol * bnorm
+    if max_total is None:
+        max_total = m
 
-    V = jnp.zeros((m + 1, n), d)
-    H = jnp.zeros((m + 1, m), d)
-    cs = jnp.zeros((m,), d)
-    sn = jnp.zeros((m,), d)
-    g = jnp.zeros((m + 1,), d)
+    def cycle(r):
+        """One GMRES(m) cycle on A (M y) = r. Returns (dx, res, k, stalled)."""
+        beta = jnp.linalg.norm(r)
+        V = jnp.zeros((m + 1, n), d)
+        H = jnp.zeros((m + 1, m), d)
+        cs = jnp.zeros((m,), d)
+        sn = jnp.zeros((m,), d)
+        g = jnp.zeros((m + 1,), d)
+        V = V.at[0].set(r / jnp.maximum(beta, 1e-300))
+        g = g.at[0].set(beta)
 
-    beta = bnorm
-    V = V.at[0].set(b_f / jnp.maximum(beta, 1e-300))
-    g = g.at[0].set(beta)
+        def cond(carry):
+            V, H, cs, sn, g, k, res, best, stall = carry
+            # stagnation exit: at the f32 residual floor (measured ~7e-4 at
+            # bench size) the target tol may be unreachable; stop once 8
+            # consecutive iterations fail to improve the best residual by 3%
+            return (
+                (res > tol_abs) & (k < m) & jnp.isfinite(res) & (stall < 8)
+            )
 
-    def cond(carry):
-        V, H, cs, sn, g, k, res, best, stall = carry
-        # stagnation exit: at the f32 residual floor (measured ~7e-4 at
-        # bench size) the target tol may be unreachable; stop once 8
-        # consecutive iterations fail to improve the best residual by 3%
-        return (
-            (res > tol_abs) & (k < m) & jnp.isfinite(res) & (stall < 8)
+        def body(carry):
+            V, H, cs, sn, g, k, _res, best, stall = carry
+            v = jax.lax.dynamic_index_in_dim(V, k, keepdims=False)
+            w = A(M(v.reshape(shape))).reshape(-1)
+            # modified Gram-Schmidt against the filled basis (masked full dot)
+            mask = (jnp.arange(m + 1) <= k).astype(d)
+            h = (V @ w) * mask
+            w = w - h @ V
+            # one re-orthogonalization pass for f32 robustness
+            h2 = (V @ w) * mask
+            w = w - h2 @ V
+            h = h + h2
+            wn = jnp.linalg.norm(w)
+            H = H.at[:, k].set(h)
+            H = H.at[k + 1, k].set(wn)
+            V = V.at[k + 1].set(w / jnp.maximum(wn, 1e-300))
+            # apply existing Givens rotations to the new column
+            def rot(i, Hc):
+                hi = Hc[i]
+                hip = Hc[i + 1]
+                return Hc.at[i].set(cs[i] * hi + sn[i] * hip).at[i + 1].set(
+                    -sn[i] * hi + cs[i] * hip
+                )
+            Hc = jax.lax.fori_loop(0, k, rot, H[:, k])
+            # new rotation to zero Hc[k+1]
+            denom = jnp.sqrt(Hc[k] ** 2 + Hc[k + 1] ** 2)
+            denom = jnp.maximum(denom, 1e-300)
+            c_new = Hc[k] / denom
+            s_new = Hc[k + 1] / denom
+            Hc = Hc.at[k].set(denom).at[k + 1].set(0.0)
+            H = H.at[:, k].set(Hc)
+            cs = cs.at[k].set(c_new)
+            sn = sn.at[k].set(s_new)
+            gk = g[k]
+            g = g.at[k].set(c_new * gk).at[k + 1].set(-s_new * gk)
+            res = jnp.abs(g[k + 1])
+            improved = res < 0.97 * best
+            best = jnp.minimum(best, res)
+            stall = jnp.where(improved, 0, stall + 1)
+            return V, H, cs, sn, g, k + 1, res, best, stall
+
+        V, H, cs, sn, g, k, res, _best, stall = jax.lax.while_loop(
+            cond, body, (V, H, cs, sn, g, 0, beta, beta, 0)
         )
 
-    def body(carry):
-        V, H, cs, sn, g, k, _res, best, stall = carry
-        v = jax.lax.dynamic_index_in_dim(V, k, keepdims=False)
-        w = A(M(v.reshape(shape))).reshape(-1)
-        # modified Gram-Schmidt against the filled basis (masked full dot)
-        mask = (jnp.arange(m + 1) <= k).astype(d)
-        h = (V @ w) * mask
-        w = w - h @ V
-        # one re-orthogonalization pass for f32 robustness
-        h2 = (V @ w) * mask
-        w = w - h2 @ V
-        h = h + h2
-        wn = jnp.linalg.norm(w)
-        H = H.at[:, k].set(h)
-        H = H.at[k + 1, k].set(wn)
-        V = V.at[k + 1].set(w / jnp.maximum(wn, 1e-300))
-        # apply existing Givens rotations to the new column
-        def rot(i, Hc):
-            hi = Hc[i]
-            hip = Hc[i + 1]
-            return Hc.at[i].set(cs[i] * hi + sn[i] * hip).at[i + 1].set(
-                -sn[i] * hi + cs[i] * hip
-            )
-        Hc = jax.lax.fori_loop(0, k, rot, H[:, k])
-        # new rotation to zero Hc[k+1]
-        denom = jnp.sqrt(Hc[k] ** 2 + Hc[k + 1] ** 2)
-        denom = jnp.maximum(denom, 1e-300)
-        c_new = Hc[k] / denom
-        s_new = Hc[k + 1] / denom
-        Hc = Hc.at[k].set(denom).at[k + 1].set(0.0)
-        H = H.at[:, k].set(Hc)
-        cs = cs.at[k].set(c_new)
-        sn = sn.at[k].set(s_new)
-        gk = g[k]
-        g = g.at[k].set(c_new * gk).at[k + 1].set(-s_new * gk)
-        res = jnp.abs(g[k + 1])
-        improved = res < 0.97 * best
-        best = jnp.minimum(best, res)
-        stall = jnp.where(improved, 0, stall + 1)
-        return V, H, cs, sn, g, k + 1, res, best, stall
+        # back-substitution on the k x k upper-triangular system (masked to
+        # the filled size; unfilled diagonal entries replaced by 1, zero rhs)
+        filled = jnp.arange(m) < k
+        diag = jnp.where(filled, jnp.diagonal(H[:m, :m]), 1.0)
+        rhs = jnp.where(filled, g[:m], 0.0)
 
-    V, H, cs, sn, g, k, res, _best, _stall = jax.lax.while_loop(
-        cond, body, (V, H, cs, sn, g, 0, beta, beta, 0)
+        def back(i_rev, y):
+            i = m - 1 - i_rev
+            yi = (rhs[i] - H[i, :m] @ y) / diag[i]
+            return y.at[i].set(jnp.where(filled[i], yi, 0.0))
+
+        y = jax.lax.fori_loop(0, m, back, jnp.zeros((m,), d))
+        return M((y @ V[:m]).reshape(shape)), res, k, stall >= 8
+
+    def outer_cond(carry):
+        _x, _r, res, tot, stalled = carry
+        return (res > tol_abs) & jnp.isfinite(res) & (tot < max_total) \
+            & (~stalled)
+
+    def outer_body(carry):
+        x, r, _res, tot, _stalled = carry
+        dx, _res_est, k, stalled = cycle(r)
+        xn = x + dx.reshape(-1)
+        rn = b_f - A(xn.reshape(shape)).reshape(-1)
+        return xn, rn, jnp.linalg.norm(rn), tot + jnp.maximum(k, 1), stalled
+
+    x, _r, _res, _tot, _ = jax.lax.while_loop(
+        outer_cond, outer_body,
+        (jnp.zeros((n,), d), b_f, bnorm, 0, False),
     )
-
-    # back-substitution on the k x k upper-triangular system (masked to the
-    # filled size; unfilled diagonal entries are replaced by 1 with zero rhs)
-    filled = jnp.arange(m) < k
-    diag = jnp.where(filled, jnp.diagonal(H[:m, :m]), 1.0)
-    rhs = jnp.where(filled, g[:m], 0.0)
-
-    def back(i_rev, y):
-        i = m - 1 - i_rev
-        yi = (rhs[i] - H[i, :m] @ y) / diag[i]
-        return y.at[i].set(jnp.where(filled[i], yi, 0.0))
-
-    y = jax.lax.fori_loop(0, m, back, jnp.zeros((m,), d))
-    x = (y @ V[:m]).reshape(shape)
-    return M(x)
+    return x.reshape(shape)
 
 
 def solve_linear(spec: SceneSpec, groups, F):

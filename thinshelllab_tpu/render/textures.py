@@ -37,19 +37,19 @@ def get_mix_texture(n: int, m: int, curve_judge: Callable[[int], Optional[str]],
                                    img_size - 1)
     cj = img_size - 1 - np.minimum((jj / (m * division) * img_size).astype(int),
                                    img_size - 1)
-    colors_row = np.empty(((n + 1) * division, 3))
-    for i in ii:
-        if i % division == 0:
-            # one representative vertex per sampled row; curve classes are
-            # per-row for every shipped scene (folding rows 7/8)
-            pij = (i // division) * (m + 1)
-            name = curve_judge(pij)
-            colors_row[i] = (_RED if name == "down"
-                             else _BLUE if name == "up" else _WHITE)
-        else:
-            colors_row[i] = _WHITE
-    img[np.repeat(ci, len(cj)), np.tile(cj, len(ci))] = np.repeat(
-        colors_row, len(cj), axis=0)
+    # classify every vertex once, then broadcast to the sample grid: the
+    # reference evaluates curve_judge at pij = (i//div)*(m+1) + (j//div) for
+    # EVERY (i, j) sample with i % division == 0 (convert_luisa.py:318-324)
+    vert_colors = np.empty((n + 1, m + 1, 3))
+    for vi in range(n + 1):
+        for vj in range(m + 1):
+            name = curve_judge(vi * (m + 1) + vj)
+            vert_colors[vi, vj] = (_RED if name == "down"
+                                   else _BLUE if name == "up" else _WHITE)
+    colors = np.repeat(np.repeat(vert_colors, division, axis=0),
+                       division, axis=1)  # ((n+1)*div, (m+1)*div, 3)
+    colors[ii % division != 0] = _WHITE
+    img[np.repeat(ci, len(cj)), np.tile(cj, len(ci))] = colors.reshape(-1, 3)
     filled[np.repeat(ci, len(cj)), np.tile(cj, len(ci))] = True
 
     # nearest-seed fill: 4-neighbor dilation until no black pixels remain
