@@ -100,3 +100,75 @@ def test_ppo_trainer_smoke(scene):
     a = tr.act(env.reset())
     assert a.shape == (2, scene.n_part * 6)
     assert np.all(np.isfinite(a))
+
+
+class _BanditEnv:
+    """Stateless 6-action bandit with the BatchedEnv interface: reward is
+    the (unscaled) first action component, so the optimal policy pushes
+    action dim 0 to +1. Cheap learning oracle for the native SAC /
+    RecurrentPPO trainers (reference training_env.py:134-151 algo
+    branches)."""
+
+    def __init__(self, n=4, obs_dim=3, action_scale=1e-3):
+        import types
+
+        self.n = n
+        self.obs_dim = obs_dim
+        self.scale = action_scale
+        self.scene = types.SimpleNamespace(n_part=1)
+
+    def reset(self):
+        return np.zeros((self.n, self.obs_dim), np.float32)
+
+    def step(self, act):
+        rew = np.asarray(act)[:, 0] / self.scale
+        return (np.zeros((self.n, self.obs_dim), np.float32),
+                rew.astype(np.float32), np.ones((self.n,), bool))
+
+
+def test_sac_trainer_smoke(scene):
+    from thinshelllab_tpu.train.rl_env import BatchedEnv
+    from thinshelllab_tpu.train.sac import SACTrainer
+
+    env = BatchedEnv(scene, n_envs=2, time_limit=4)
+    tr = SACTrainer(env, total_steps=8, start_steps=4, batch_size=4,
+                    buffer_size=64, hidden=16)
+    tr.train(verbose=False)
+    a = tr.act(env.reset())
+    assert a.shape == (2, scene.n_part * 6)
+    assert np.all(np.isfinite(a))
+
+
+def test_recurrent_ppo_trainer_smoke(scene):
+    from thinshelllab_tpu.train.recurrent_ppo import RecurrentPPOTrainer
+    from thinshelllab_tpu.train.rl_env import BatchedEnv
+
+    env = BatchedEnv(scene, n_envs=2, time_limit=4)
+    tr = RecurrentPPOTrainer(env, total_steps=16, horizon=4, hidden=16)
+    tr.train(verbose=False)
+    a, carry = tr.act(env.reset())
+    assert a.shape == (2, scene.n_part * 6)
+    assert np.all(np.isfinite(a))
+    assert np.all(np.isfinite(np.asarray(carry[0])))
+
+
+def test_sac_learns_bandit():
+    from thinshelllab_tpu.train.sac import SACTrainer
+
+    env = _BanditEnv(n=4)
+    tr = SACTrainer(env, total_steps=1200, start_steps=200, batch_size=64,
+                    buffer_size=4096, hidden=32, seed=0)
+    tr.train(verbose=False)
+    a = tr.act(env.reset()) / tr.action_scale  # unscaled, in [-1, 1]
+    assert float(np.mean(a[:, 0])) > 0.3, a[:, 0]
+
+
+def test_recurrent_ppo_learns_bandit():
+    from thinshelllab_tpu.train.recurrent_ppo import RecurrentPPOTrainer
+
+    env = _BanditEnv(n=8)
+    tr = RecurrentPPOTrainer(env, total_steps=4096, horizon=16, hidden=32,
+                             lr=3e-3, seed=0)
+    tr.train(verbose=False)
+    a, _ = tr.act(env.reset())
+    assert float(np.mean(a[:, 0] / tr.action_scale)) > 0.3, a[:, 0]
