@@ -170,3 +170,34 @@ def test_membrane_closed_hessian_matches_ad():
     err = float(jnp.abs(H_cl - H_ad).max() / jnp.abs(H_ad).max())
     assert err < 1e-12, err
 
+
+
+def test_pallas_dia_spmv_matches_xla_interpret():
+    """The Pallas streaming DIA SpMV (ops/dia_spmv.py, interpret mode on
+    CPU) computes the same shifted contraction as the XLA padded-slices
+    einsum in hvp_dia_static, on the bench scene's real store."""
+    from thinshelllab_tpu.ops import dia_spmv
+
+    sc = bench_scene.make(cloth_N=16, dtype=jnp.float64, solver="cg")
+    spec, params, pos, groups = _system(sc)
+    plan = spec.dia
+    assert plan is not None
+    dia = elements.assemble_dia(spec, groups, jnp.float64)
+
+    rng = np.random.default_rng(5)
+    NV, NVp = spec.NV, plan.NVp
+    x = jnp.asarray(rng.normal(size=(NV, 3)))
+    unf = jnp.asarray(~spec.frozen, x.dtype)
+    xm2 = jnp.zeros((3, NVp), x.dtype).at[:, :NV].set((x * unf).T)
+
+    P = plan.max_abs_off
+    xpad = jnp.concatenate(
+        [jnp.zeros((3, P)), xm2, jnp.zeros((3, P))], axis=1)
+    shifted = jnp.stack(
+        [jax.lax.dynamic_slice_in_dim(xpad, P + o, NVp, axis=1)
+         for o in plan.offsets], axis=1)
+    yT_xla = jnp.einsum("oijn,jon->in", dia, shifted)
+
+    yT_pl = dia_spmv.dia_spmv(dia, xm2, plan.offsets, interpret=True)
+    np.testing.assert_allclose(np.asarray(yT_pl), np.asarray(yT_xla),
+                               rtol=1e-12, atol=1e-12)

@@ -129,3 +129,91 @@ def test_check_differential_utility():
     out = check_differential(sc.spec, sc.params, st, verbose=False)
     assert out["grad_rel_err"] < 1e-4
     assert out["hess_rel_err"] < 1e-3
+
+
+def test_spatial_hash_broadphase_matches_dense():
+    """The spatial-hash prefilter (ops/collision._hash_candidates, the
+    TPU-shaped analogue of reference engine/geometry.py:96-163) must produce
+    bit-identical projection results to the dense L-inf sweep, on rest and
+    deformed bench-scene states."""
+    import dataclasses
+
+    from thinshelllab_tpu.engine import stepper
+    from thinshelllab_tpu.scenes import bench_scene
+
+    sc = bench_scene.make(cloth_N=32, dtype=jnp.float64, solver="cg")
+    spec = sc.spec
+    con = spec.contact
+    assert any(h is not None for h in con.hash_desc), (
+        "bench cloth_N=32 (2048 faces) should trigger the hash path"
+    )
+    # exhaustive oracle: dense path with top_k = max nf evaluates EVERY
+    # face exactly (no K-by-centroid truncation) -- the selection the
+    # reference's uniform grid makes (engine/geometry.py:96-229)
+    con_dense = dataclasses.replace(
+        con, hash_desc=(None,) * len(con.hash_desc),
+        top_k=con.max_src_faces)
+    spec_dense = dataclasses.replace(spec, contact=con_dense)
+
+    rng = np.random.default_rng(0)
+    pos0 = np.asarray(sc.state0.pos, np.float64)
+    C = con.capacity
+    pf0 = jnp.zeros((C,), jnp.int32)
+    pd0 = jnp.zeros((C,), jnp.int32)
+
+    for trial in range(3):
+        pos = pos0.copy()
+        if trial == 1:  # settle: drop the cloth onto the table
+            pos[:, 2] -= 0.4 * (pos[:, 2] - pos[:, 2].min())
+        if trial == 2:  # wrinkled: smooth low-frequency warp
+            pos += 2e-3 * np.stack(
+                [np.sin(7 * pos[:, 0] + i) * np.cos(5 * pos[:, 1] - i)
+                 for i in range(3)], axis=1)
+        p = jnp.asarray(pos)
+        vn = collision.vertex_normals(p, spec.faces, spec.NV)
+        fh, dh, th, wh = collision.projection_query(spec, p, vn, pf0, pd0)
+        fd_, dd, td, wd = collision.projection_query(
+            spec_dense, p, vn, pf0, pd0)
+        np.testing.assert_array_equal(np.asarray(fh), np.asarray(fd_),
+                                      err_msg=f"trial {trial} flag")
+        np.testing.assert_array_equal(np.asarray(dh), np.asarray(dd),
+                                      err_msg=f"trial {trial} dir")
+        # tri/w are meaningful (and consumed) only on found slots. Compare
+        # by projection distance: exact symmetric ties can legitimately
+        # resolve to different (equidistant) faces between candidate orders.
+        # Restrict to the hash pairs' query ranges: on dense pairs both
+        # specs run the same code, except the oracle's exhaustive K also
+        # *improves* dense pairs whose in-cutoff population exceeds top_k
+        # (a pre-existing truncation unrelated to the hash).
+        m = np.asarray(fh).astype(bool)
+        hash_rows = np.zeros_like(m)
+        for hdp, (cqs, cnt, _, _, _) in zip(con.hash_desc, con.pair_desc):
+            if hdp is not None:
+                hash_rows[cqs : cqs + cnt] = True
+        m = m & hash_rows
+        pn = np.asarray(p)
+
+        def dists(t, w):
+            tri = np.asarray(t)[m]
+            ww = np.asarray(w)[m]
+            q = pn[np.asarray(con.cq_vert)[m]]
+            vpt = np.einsum("ck,cki->ci", ww, pn[tri])
+            return np.linalg.norm(q - vpt, axis=1)
+
+        # selection inside the 1e-5 near-window is an exact-cos tie broken
+        # by candidate order (measured: ties project onto a shared vertex
+        # with bit-identical cos); any pick within the window is the same
+        # semantics, so distances must agree to the window width
+        np.testing.assert_allclose(
+            dists(th, wh), dists(td, wd), rtol=0, atol=1.01e-5,
+            err_msg=f"trial {trial} projection distance")
+        # tri identity: the distance assertion above is the semantic guard
+        # (every divergent pick sits inside the tie window); this one only
+        # catches WIDESPREAD divergence, so it is count-tolerant -- a handful
+        # of exact ties per trial (verified bit-identical cos on a shared
+        # vertex) legitimately resolve by candidate order
+        same_tri = (np.asarray(th)[m] == np.asarray(td)[m]).all(axis=1)
+        n_mis = int((~same_tri).sum())
+        assert n_mis <= max(5, 0.02 * max(int(m.sum()), 1)), (
+            f"trial {trial}: {n_mis} tri mismatches of {int(m.sum())}")
+        assert m.sum() > 0 or trial == 0

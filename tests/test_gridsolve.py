@@ -49,7 +49,7 @@ def _dense_from_dia(spec, gp_entry, dia, Dc=None):
                     for j in range(3):
                         if unf[v, i] and unf[v2, j]:
                             T[3 * v + i, 3 * v2 + j] += d[
-                                i, j, oi, v_off + v
+                                oi, i, j, v_off + v
                             ]
     md = np.asarray(spec.mass)[v_off : v_off + R * W]
     T[np.arange(n), np.arange(n)] += np.repeat(md, 3) / spec.dt**2

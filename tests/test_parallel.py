@@ -45,6 +45,39 @@ def test_cmaes_driver_with_mesh(scene):
     assert np.isfinite(info["best_reward"])
 
 
+def test_sharded_matches_single_device_on_cg_dia_path():
+    """Sharded population rewards must equal the single-device batched
+    rollout bit-for-bit on the PRODUCTION solver stack (active DIA plan +
+    smoothed PCG + BCR/GMRES adjoint path) -- the configuration bench.py
+    runs, which round 2 never exercised under shard_map (the round-2 dryrun
+    used the dense solver on a below-sublane cloth)."""
+    from thinshelllab_tpu.engine import gridsolve
+    from thinshelllab_tpu.scenes import bench_scene
+
+    sc = bench_scene.make(cloth_N=8, table_n=4, dtype=jnp.float64,
+                          solver="cg", max_newton_iter=2, cg_max_iter=40,
+                          cg_tol=1e-8)
+    assert sc.spec.dia is not None
+    assert gridsolve.build_grid_plan(sc.spec)
+
+    m = pmesh.make_mesh(8)
+    B, T = 8, 2
+    rng = np.random.default_rng(3)
+    acts = (
+        jnp.asarray(rng.normal(size=(B, T, sc.n_part, 3)) * 1e-4),
+        jnp.zeros((B, T, sc.n_part, 3)),
+        jnp.zeros((B, T, sc.n_part)),
+    )
+    reward_fn = sc.rewards["default"]
+    r_sharded = pmesh.sharded_population_rewards(
+        m, sc.spec, sc.params, sc.state0, acts, reward_fn)
+    r_single = pmesh.batched_rollout_rewards(
+        sc.spec, sc.params, sc.state0, acts, reward_fn)
+    np.testing.assert_allclose(np.asarray(r_sharded), np.asarray(r_single),
+                               rtol=1e-12)
+    assert np.all(np.isfinite(np.asarray(r_sharded)))
+
+
 def test_graft_entry_contract():
     spec = importlib.util.spec_from_file_location(
         "graft", os.path.join(os.path.dirname(__file__), "..",

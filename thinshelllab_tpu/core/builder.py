@@ -261,7 +261,7 @@ class SceneBuilder:
         cloth = self._build_cloth_soup(pos0)
         neo = self._build_tet_soup("neo", pos0, mass)
         tact = self._build_tet_soup("tact", pos0, mass)
-        contact = self._build_contact()
+        contact = self._build_contact(pos0)
         gripper, gstate = self._build_gripper(pos0)
 
         frozen = np.zeros((NV, 3), bool)
@@ -463,9 +463,32 @@ class SceneBuilder:
             group=np.concatenate(groups),
         )
 
-    def _build_contact(self) -> ContactSpec:
+    def _hash_desc_for(self, sb, pos0, faces_local):
+        """Static spatial-hash descriptor for a source body's face set, or
+        None for small bodies where the dense L-inf sweep is cheaper. Grid
+        dims come from the rest extent (+4 margin cells for drift; runtime
+        cell coords clamp into the grid, so drift beyond the margin only
+        enlarges boundary-cell candidate lists, never drops faces). The
+        per-cell cap is 4x the rest-state max occupancy: folding stacks
+        layers, and overflow WOULD drop candidates (tests compare the hash
+        path against the dense sweep)."""
+        if sb.n_faces < 2048:
+            return None
+        s = 2.0 * self.cfg["grid_h"]
+        tri = pos0[sb.v_offset + faces_local]  # (nf, 3, 3)
+        cent = tri.mean(axis=1)
+        lo, hi = cent.min(axis=0), cent.max(axis=0)
+        G = np.clip(np.ceil((hi - lo) / s).astype(int) + 4, 4, 64)
+        cell = np.clip(np.floor((cent - lo) / s).astype(int), 0, G - 1)
+        cid = (cell[:, 0] * G[1] + cell[:, 1]) * G[2] + cell[:, 2]
+        occ = int(np.bincount(cid).max())
+        cap = int(min(max(16, 4 * occ), 64))
+        return (int(G[0]), int(G[1]), int(G[2]), cap)
+
+    def _build_contact(self, pos0) -> ContactSpec:
         cq_vert, cq_pair, cq_mu, cq_fs, cq_nf, cq_self = [], [], [], [], [], []
         pair_desc = []
+        hash_desc = []
         max_nf = 1
         cq_start = 0
         for pi, (src, tgt, mu_slot, is_self) in enumerate(self.pairs):
@@ -473,6 +496,7 @@ class SceneBuilder:
             verts = np.arange(tb.v_offset, tb.v_offset + tb.n_verts, dtype=np.int32)
             pair_desc.append((cq_start, tb.n_verts, sb.f_offset, sb.n_faces,
                               bool(is_self)))
+            hash_desc.append(self._hash_desc_for(sb, pos0, sb.surfaces))
             cq_start += tb.n_verts
             cq_vert.append(verts)
             cq_pair.append(np.full(len(verts), pi, np.int32))
@@ -519,6 +543,7 @@ class SceneBuilder:
             top_k=self.contact_top_k,
             query_chunk=chunk,
             pair_desc=tuple(pair_desc),
+            hash_desc=tuple(hash_desc),
         )
 
     def _build_gripper(self, pos0):

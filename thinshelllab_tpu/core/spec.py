@@ -88,6 +88,16 @@ class ContactSpec:
     # is_self) -- lets the broadphase sweep each pair against only its own
     # source faces instead of a padded max
     pair_desc: Tuple = static_field(default=())
+    # per-pair spatial-hash descriptor: None (dense L-inf sweep) or
+    # (Gx, Gy, Gz, cap): counting-sort the pair's source-face centroids into
+    # a static (Gx*Gy*Gz)-cell grid of cell size 2*grid_h and gather <= cap
+    # faces from each of a query's 27 neighbor cells -- the TPU-shaped
+    # analogue of the reference's uniform-grid broadphase
+    # (engine/geometry.py:96-163): work scales with queries + faces, not
+    # queries x faces. Grid dims come from the REST extent (+margin); cell
+    # coords are clamped into the grid at runtime, which keeps candidate
+    # supersets correct (out-of-range content merges into boundary cells).
+    hash_desc: Tuple = static_field(default=())
 
 
 @pytree_dataclass
@@ -115,10 +125,11 @@ class GripperSpec:
 class DiaPlan:
     """Hybrid DIA (diagonal) storage plan for the regular part of the static
     Hessian. Dense offsets (cloth grid + cube lattices: dozens of distinct
-    row->col vertex offsets covering ~all blocks) assemble into a
-    (3, 3, n_off, NV+1) diagonal array once per Newton iteration; a CG
-    iteration is then static shifts + one einsum (no gathers). Rare offsets
-    (irregular tactile/ball tets) stay on the pull path.
+    row->col vertex offsets covering ~all blocks) assemble into an
+    (n_off, 3, 3, NVp) diagonal array once per Newton iteration; a CG
+    iteration is then static shifts against that store (a Pallas streaming
+    kernel on TPU, ops/dia_spmv.py; padded-slice einsum elsewhere). Rare
+    offsets (irregular tactile/ball tets) stay on the pull path.
 
     Assembly is scatter/gather-free for the dominant regular part (XLA TPU
     gathers/scatters move ~4 bytes per 2ns -- see BASELINE.md): cloth faces
@@ -138,6 +149,9 @@ class DiaPlan:
     offsets: Tuple[int, ...] = static_field(default=())
     max_abs_off: int = static_field(default=0)
     Dr: int = static_field(default=0)
+    # padded DOF-row count of the DIA store: ceil((NV+1)/1024)*1024, so the
+    # store reshapes losslessly to the Pallas kernel's (Spad, 128) image
+    NVp: int = static_field(default=0)
     # per-cloth stencil families:
     # (N, M, v_off, f_base, h_base, fams, res_fams) with
     # fams entries  (kind, c, a, b, o_id, i0, i1, j0, j1, di, dj, parity)
@@ -208,6 +222,9 @@ class SceneSpec:
     # iterations recompute only the residual against the stale operator.
     # Same fixed point (termination is on |p|), fewer Hessian builds.
     hess_refresh: int = static_field(default=1)
+    # DIA SpMV backend: 'auto' = Pallas kernel on TPU f32, XLA elsewhere;
+    # 'pallas' / 'xla' force one (ops/dia_spmv.py)
+    spmv: str = static_field(default="auto")
     dtype: Any = static_field(default=jnp.float64)
 
 

@@ -931,16 +931,19 @@ def build_dia_plan(spec, min_count=64):
         offsets=tuple(int(o) for o in offsets),
         max_abs_off=int(max(abs(int(o)) for o in offsets)),
         Dr=Dr,
+        NVp=-(-(NV + 1) // 1024) * 1024,
         cloths=cloths,
     )
     return plan, ~in_dia
 
 
 def assemble_dia(spec, fused, dtype):
-    """(3, 3, n_off, NV+1) diagonal store from the fused static blocks
+    """(n_off, 3, 3, NVp) diagonal store from the fused static blocks
     (once per Newton iteration): cloth families as static slice-adds, tet
     blocks as a compact row gather + one-hot MXU placement. Scatter-free
-    except one tiny (Rn-row) lane write."""
+    except one tiny (Rn-row) lane write. NVp pads the DOF-row axis to a
+    multiple of 1024 so the store reshapes losslessly into the Pallas
+    SpMV's (Spad, 128) sublane/lane image (ops/dia_spmv.py)."""
     import numpy as _np
 
     plan = spec.dia
@@ -948,8 +951,8 @@ def assemble_dia(spec, fused, dtype):
     NV = spec.NV
     ns = static_block_count(spec)
     H = fused["H"]
-    # accumulate directly in the matvec layout (3, 3, n_off, NV+1)
-    dia = jnp.zeros((3, 3, n_off, NV + 1), dtype)
+    # accumulate directly in the matvec layout (n_off, 3, 3, NVp)
+    dia = jnp.zeros((n_off, 3, 3, plan.NVp), dtype)
 
     for (N, M, v_off, fb, hb, fams, _res) in plan.cloths:
         # one transpose per soup so every family slice below is a
@@ -965,7 +968,7 @@ def assemble_dia(spec, fused, dtype):
         )
         ii, jj = _np.meshgrid(_np.arange(N), _np.arange(M), indexing="ij")
         par_np = ((ii + jj) % 2).astype(bool)
-        acc = jnp.zeros((3, 3, n_off, N + 1, M + 1), dtype)
+        acc = jnp.zeros((n_off, 3, 3, N + 1, M + 1), dtype)
         for (kind, cc, a, b, o, i0, i1, j0, j1, di, dj, par) in fams:
             Hg = Hf if kind == 0 else Hh
             src = Hg[cc, a, b, :, :, i0:i1, j0:j1]
@@ -974,10 +977,10 @@ def assemble_dia(spec, fused, dtype):
                 dtype,
             )
             acc = acc.at[
-                :, :, o, i0 + di : i1 + di, j0 + dj : j1 + dj
+                o, :, :, i0 + di : i1 + di, j0 + dj : j1 + dj
             ].add(src * pm[None, None])
         dia = dia.at[:, :, :, v_off : v_off + (N + 1) * (M + 1)].add(
-            acc.reshape(3, 3, n_off, -1)
+            acc.reshape(n_off, 3, 3, -1)
         )
 
     if plan.rows.shape[0]:
@@ -990,9 +993,9 @@ def assemble_dia(spec, fused, dtype):
         onehot = jax.nn.one_hot(
             jnp.asarray(plan.o_idx), n_off + 1, dtype=dtype
         )
-        part = jnp.einsum("rkc,rko->cor", vals, onehot)[:, :n_off]
+        part = jnp.einsum("rkc,rko->ocr", vals, onehot)[:n_off]
         dia = dia.at[:, :, :, jnp.asarray(plan.rows)].add(
-            part.reshape(3, 3, n_off, -1)
+            part.reshape(n_off, 3, 3, -1)
         )
     return dia
 
@@ -1007,7 +1010,7 @@ def diag_blocks_dia(spec, fused, dia, nbr_left, return_contact=False):
     md = jnp.asarray(spec.mass)
     unf = jnp.asarray(~spec.frozen, md.dtype)  # (NV, 3)
     off0 = spec.dia.offsets.index(0)
-    D = jnp.transpose(dia[:, :, off0, :NV], (2, 0, 1))  # (NV, 3, 3)
+    D = jnp.transpose(dia[off0, :, :, :NV], (2, 0, 1))  # (NV, 3, 3)
     D = D * unf[:, :, None] * unf[:, None, :]
     sl = spec.hvp_slots
     if sl is not None and sl.D > 0 and nbr_left is not None:
@@ -1033,39 +1036,54 @@ def diag_blocks_dia(spec, fused, dia, nbr_left, return_contact=False):
     return D
 
 
+def use_pallas_spmv(spec, dtype) -> bool:
+    """'auto' resolves to the XLA path: with the (n_off, 3, 3, NVp) layout
+    (NVp padded to a lane multiple) the padded-slices einsum measured 15.2
+    us/apply at bench size vs 20.6 us for the Pallas streaming kernel
+    (scripts/ab_dia_spmv.py, round 3) -- the round-2 0.9 ms cost was the
+    store layout, not XLA. The kernel is kept behind spmv='pallas'."""
+    if spec.spmv == "pallas":
+        return True
+    return False
+
+
 def hvp_dia_static(spec, dia, nbr_left, x):
-    """Static part of H @ x: DIA shifts+einsum for the regular offsets,
-    pull gather for the leftover, inertia diagonal. Frozen-masked. This is
-    also the cheap operator used by the smoothed preconditioner."""
+    """Static part of H @ x: DIA shifts for the regular offsets (Pallas
+    streaming kernel on TPU, padded-slices einsum elsewhere), pull gather
+    for the leftover, inertia diagonal. Frozen-masked. This is also the
+    cheap operator used by the smoothed preconditioner."""
+    from ..ops import dia_spmv as _spmv
+
     plan = spec.dia
     NV = spec.NV
-    P = plan.max_abs_off
+    NVp = plan.NVp
     md = jnp.asarray(spec.mass)
-    unf = jnp.concatenate(
-        [jnp.asarray(~spec.frozen, x.dtype), jnp.zeros((1, 3), x.dtype)]
-    )
-    xp = jnp.concatenate([x, jnp.zeros((1, 3), x.dtype)], axis=0)
-    xm = xp * unf  # column-masked (row masking applied to y below)
+    unf = jnp.asarray(~spec.frozen, x.dtype)  # (NV, 3)
+    xm2 = jnp.zeros((3, NVp), x.dtype)
+    xm2 = xm2.at[:, :NV].set((x * unf).T)  # column-masked, zero padding
 
-    # DIA part: y[r] += dia[o, r] @ xm[r + off_o], in (j, o, NV) layout so
-    # the TPU lane dimension is NV
-    xpad = jnp.concatenate(
-        [jnp.zeros((3, P), x.dtype), xm[: NV + 1].T,
-         jnp.zeros((3, P), x.dtype)], axis=1,
-    )  # (3, NV+1+2P)
-    shifted = jnp.stack(
-        [
-            jax.lax.dynamic_slice_in_dim(xpad, P + o, NV + 1, axis=1)
-            for o in plan.offsets
-        ],
-        axis=1,
-    )  # (3, n_off, NV+1)
-    yT = jnp.einsum("ijon,jon->in", dia, shifted)  # (3, NV+1)
-    y = (yT.T * unf)[:NV]
+    if use_pallas_spmv(spec, x.dtype):
+        yT = _spmv.dia_spmv(dia, xm2, plan.offsets)  # (3, NVp)
+    else:
+        P = plan.max_abs_off
+        xpad = jnp.concatenate(
+            [jnp.zeros((3, P), x.dtype), xm2, jnp.zeros((3, P), x.dtype)],
+            axis=1,
+        )  # (3, NVp+2P)
+        shifted = jnp.stack(
+            [
+                jax.lax.dynamic_slice_in_dim(xpad, P + o, NVp, axis=1)
+                for o in plan.offsets
+            ],
+            axis=1,
+        )  # (3, n_off, NVp)
+        yT = jnp.einsum("oijn,jon->in", dia, shifted)  # (3, NVp)
+    y = yT[:, :NV].T * unf  # row mask
     y = y + (md / spec.dt**2)[:, None] * x
 
     # leftover pull part (irregular static elements, compact rows)
     if spec.hvp_slots is not None and spec.hvp_slots.D > 0:
+        xm = jnp.concatenate([x * unf, jnp.zeros((1, 3), x.dtype)], axis=0)
         yr = _pull_apply(spec, nbr_left, xm)
         y = y.at[jnp.asarray(spec.hvp_slots.row_ids)].add(yr)
     return y

@@ -125,7 +125,9 @@ def add_contact_couplings(spec, gp, slot_lists, dia, con_idx, con_H):
     lanes = jnp.concatenate(lanes_all)
     rows = jnp.concatenate(rows_all)
     vals = jnp.concatenate(vals_all)  # (S12, 3, 3)
-    return dia.at[:, :, lanes, rows].add(jnp.transpose(vals, (1, 2, 0)))
+    # advanced indices on non-adjacent axes (0 and 3) put the S12 batch dim
+    # first, matching vals' layout
+    return dia.at[lanes, :, :, rows].add(vals)
 
 
 def extract_cloth_tridiag(spec, gp_entry, dia, Dc=None):
@@ -156,7 +158,7 @@ def extract_cloth_tridiag(spec, gp_entry, dia, Dc=None):
     U = jnp.zeros((nb, 2, W, 3, 2, W, 3), dt_)
 
     for (oi, di, dj) in lanes:
-        val = dia[:, :, oi, v_off : v_off + R * W].reshape(3, 3, R, W)
+        val = dia[oi, :, :, v_off : v_off + R * W].reshape(3, 3, R, W)
         # row mask (i-component at the row vertex)
         val = val * unf_g[:, None]
         # column mask: unfrozen at (r+di, c+dj), zero outside the grid
@@ -215,13 +217,31 @@ def extract_cloth_tridiag(spec, gp_entry, dia, Dc=None):
 
 
 def factor_tridiag(D, U):
-    """Cyclic-reduction factorization of the SPD block tridiagonal
-    (D_k, U_k). Returns the level stack + root inverse for solve_tridiag.
-    Odd level sizes are padded with an identity block (decoupled)."""
+    """Cyclic-reduction factorization of the block tridiagonal (D_k, U_k).
+    Returns the level stack + root inverse for solve_tridiag. Odd level
+    sizes are padded with an identity block (decoupled).
+
+    SPD caveat: the extracted cloth tridiagonal is the restriction of a PSD
+    (inertia-augmented) operator, and restriction does NOT guarantee
+    positive definiteness in general. For the shipped specs the mass/dt^2
+    diagonal added in extract_cloth_tridiag dominates the dropped off-band
+    couplings, but jnp.linalg.inv has no failure detection, so every pivot
+    block gets a small relative diagonal shift (100 eps x its max |entry|):
+    a near-singular or slightly indefinite pivot then yields a finite,
+    slightly-damped preconditioner instead of silently poisoning it with
+    inf/NaN. (The Krylov loops' isfinite guards would catch NaN only after
+    the solve had already been wasted.)"""
     levels = []
     n = D.shape[0]
     m = D.shape[1]
     dt_ = D.dtype
+    eps = 100.0 * jnp.finfo(dt_).eps
+
+    def _safe_inv(A):
+        scale = jnp.max(jnp.abs(A), axis=(-2, -1), keepdims=True)
+        shift = eps * jnp.maximum(scale, jnp.finfo(dt_).tiny)
+        return jnp.linalg.inv(A + shift * jnp.eye(m, dtype=dt_))
+
     while n > 1:
         padded = n % 2 == 1
         if padded:
@@ -231,7 +251,7 @@ def factor_tridiag(D, U):
             U = jnp.concatenate([U, jnp.zeros((1, m, m), dt_)], axis=0)
             n += 1
         n2 = n // 2
-        Dodd_inv = jnp.linalg.inv(D[1::2])  # (n2, m, m)
+        Dodd_inv = _safe_inv(D[1::2])  # (n2, m, m)
         U_even = U[0::2]   # U_{2t}:   even -> odd (right neighbor)
         U_odd = U[1::2]    # U_{2t+1}: odd  -> even (next)
         G1 = jnp.einsum("kab,kbc->kac", U_even, Dodd_inv)
@@ -243,7 +263,7 @@ def factor_tridiag(D, U):
         Unew = -jnp.einsum("kab,kbc->kac", G1, U_odd)
         levels.append((Dodd_inv, G1, G2, U_even, U_odd, padded))
         D, U, n = Dnew, Unew, n2
-    root_inv = jnp.linalg.inv(D[0])
+    root_inv = _safe_inv(D[0:1])[0]
     return levels, root_inv
 
 

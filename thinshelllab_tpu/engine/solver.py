@@ -441,11 +441,24 @@ def _gmres_loop(A, M, b, tol, m, max_total=None):
             & (~stalled)
 
     def outer_body(carry):
-        x, r, _res, tot, _stalled = carry
-        dx, _res_est, k, stalled = cycle(r)
+        x, r, res_prev, tot, _stalled = carry
+        dx, res_est, k, stalled = cycle(r)
         xn = x + dx.reshape(-1)
         rn = b_f - A(xn.reshape(shape)).reshape(-1)
-        return xn, rn, jnp.linalg.norm(rn), tot + jnp.maximum(k, 1), stalled
+        rn_norm = jnp.linalg.norm(rn)
+        # f32-floor detection (one extra A-apply, no wasted cycle): in exact
+        # arithmetic the Givens recurrence's estimate equals the true
+        # residual norm (right preconditioning preserves it), so a true
+        # residual an order of magnitude ABOVE the estimate means the
+        # update's accuracy -- not the Krylov space -- is the binding
+        # constraint (measured ~7e-4 relative at bench size, BASELINE.md).
+        # Restarting cannot help; without this test every adjoint solve
+        # whose tol sits below the floor burns a second full cycle
+        # re-discovering it (the round-3 bench regression). The halving test
+        # is the backstop for cycles whose estimate ALSO stalls.
+        floor = rn_norm > 10.0 * jnp.maximum(res_est, tol_abs)
+        stalled = stalled | floor | (rn_norm > 0.5 * res_prev)
+        return xn, rn, rn_norm, tot + jnp.maximum(k, 1), stalled
 
     x, _r, _res, _tot, _ = jax.lax.while_loop(
         outer_cond, outer_body,

@@ -17,8 +17,62 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core.spec import ContactSet, SceneSpec
+
+# 3x3x3 neighborhood offsets for the spatial-hash broadphase
+_OFF27 = np.array(
+    [(i, j, k) for i in (-1, 0, 1) for j in (-1, 0, 1) for k in (-1, 0, 1)],
+    np.int32,
+)
+
+
+def _hash_grid(cent, cutoff, G):
+    """Counting-sort the source centroids into a static (Gx,Gy,Gz) grid of
+    cell size `cutoff` (TPU-shaped analogue of the reference's uniform-grid
+    broadphase, engine/geometry.py:96-163). Returns (origin, sorted cell
+    ids, face permutation). All shapes static; the origin is dynamic and
+    cell coords clamp into the grid (clamping merges out-of-range content
+    into boundary cells -- a candidate superset, never a miss)."""
+    Gx, Gy, Gz = G
+    Ga = jnp.array([Gx, Gy, Gz], jnp.int32)
+    origin = jnp.min(cent, axis=0)
+    cell = jnp.clip(
+        jnp.floor((cent - origin) / cutoff).astype(jnp.int32), 0, Ga - 1
+    )
+    cid = (cell[:, 0] * Gy + cell[:, 1]) * Gz + cell[:, 2]
+    sc, perm = jax.lax.sort_key_val(
+        cid, jnp.arange(cent.shape[0], dtype=jnp.int32)
+    )
+    return origin, sc, perm
+
+
+def _hash_candidates(origin, sc, perm, q, cutoff, G, cap):
+    """Per query: gather <= cap faces from each of the 27 neighbor cells of
+    the query's cell. Any face whose centroid lies within L-inf `cutoff` of
+    q is guaranteed among the candidates (cell size == cutoff), provided no
+    cell holds more than cap faces. Returns (cand (c, 27*cap) local face
+    ids, ok (c, 27*cap))."""
+    nf = sc.shape[0]
+    Gx, Gy, Gz = G
+    Ga = jnp.array([Gx, Gy, Gz], jnp.int32)
+    qcell = jnp.clip(
+        jnp.floor((q - origin) / cutoff).astype(jnp.int32), 0, Ga - 1
+    )
+    neigh = jnp.clip(qcell[:, None, :] + jnp.asarray(_OFF27)[None], 0, Ga - 1)
+    ncid = (neigh[..., 0] * Gy + neigh[..., 1]) * Gz + neigh[..., 2]  # (c,27)
+    # boundary clamping can collapse distinct neighbor offsets onto the same
+    # cell; mask the repeats so duplicates never crowd out real candidates
+    eq = ncid[:, :, None] == ncid[:, None, :]
+    is_dup = jnp.any(eq & np.tril(np.ones((27, 27), bool), -1)[None], axis=2)
+    start = jnp.searchsorted(sc, ncid)  # (c, 27)
+    idxs = start[..., None] + jnp.arange(cap, dtype=jnp.int32)  # (c, 27, cap)
+    inb = idxs < nf
+    idxs = jnp.minimum(idxs, nf - 1)
+    ok = inb & (sc[idxs] == ncid[..., None]) & ~is_dup[..., None]
+    cand = perm[idxs]
+    return cand.reshape(q.shape[0], -1), ok.reshape(q.shape[0], -1)
 
 
 def pt2tri(x, p1, p2, p3):
@@ -174,10 +228,15 @@ def projection_query(spec: SceneSpec, pos, vn, proj_flag, proj_dir):
         jnp.array([1.0, 0.0, 0.0], pos.dtype), (C, 3)
     )
 
-    for (cq_start, count, f_start, nf, is_self) in spec.contact.pair_desc:
+    for pi, (cq_start, count, f_start, nf, is_self) in enumerate(
+        spec.contact.pair_desc
+    ):
         vids_np = con.cq_vert[cq_start : cq_start + count]
         K = min(con.top_k, nf)
         cent = centroids[f_start : f_start + nf]  # (nf, 3) static slice
+        hd = con.hash_desc[pi] if pi < len(con.hash_desc) else None
+        if hd is not None:
+            grid = _hash_grid(cent, cutoff, hd[:3])  # built once per pair
         chunk = max(1, min(count, max(1, max_elems // max(nf, 1))))
         n_chunks = -(-count // chunk)
         pf_list, pt_list, pw_list = [], [], []
@@ -186,16 +245,33 @@ def projection_query(spec: SceneSpec, pos, vn, proj_flag, proj_dir):
             hi = min(count, lo + chunk)
             vid = jnp.asarray(vids_np[lo:hi])
             q = pos[vid]  # (c, 3)
-            linf = jnp.abs(cent[None, :, 0] - q[:, None, 0])
-            for dim in (1, 2):
-                linf = jnp.maximum(
-                    linf, jnp.abs(cent[None, :, dim] - q[:, None, dim])
+            if hd is not None:
+                # spatial-hash prefilter: L-inf + top-K over <= 27*cap
+                # candidates instead of all nf faces. Kh = 2K: the dense
+                # path's K-by-centroid-distance truncation already loses the
+                # true nearest face when > K candidates sit inside the
+                # cutoff; the prefilter makes a deeper exact stage cheap, so
+                # take twice the budget (exact selection whenever the
+                # in-cutoff population is <= 2K -- checked against an
+                # exhaustive oracle in tests/test_collision.py)
+                cand, okh = _hash_candidates(*grid, q, cutoff, hd[:3], hd[3])
+                linf = jnp.max(jnp.abs(cent[cand] - q[:, None, :]), axis=-1)
+                linf = jnp.where(okh, linf, jnp.inf)
+                Kh = min(2 * K, cand.shape[1])
+                neg, sel = jax.lax.top_k(-linf, Kh)
+                cand_f = f_start + jnp.take_along_axis(cand, sel, axis=1)
+                cand_ok = -neg < cutoff
+            else:
+                linf = jnp.abs(cent[None, :, 0] - q[:, None, 0])
+                for dim in (1, 2):
+                    linf = jnp.maximum(
+                        linf, jnp.abs(cent[None, :, dim] - q[:, None, dim])
+                    )
+                _, top_idx = jax.lax.top_k(-linf, K)
+                cand_f = f_start + top_idx
+                cand_ok = (
+                    jnp.take_along_axis(linf, top_idx, axis=1) < cutoff
                 )
-            _, top_idx = jax.lax.top_k(-linf, K)
-            cand_f = f_start + top_idx
-            cand_ok = (
-                jnp.take_along_axis(linf, top_idx, axis=1) < cutoff
-            )
             f, t, w = detail(vid, cand_f, cand_ok, is_self)
             pf_list.append(f)
             pt_list.append(t)
