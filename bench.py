@@ -59,9 +59,22 @@ def main():
     run = jax.jit(fwd_bwd)
 
     t0 = time.time()
+    compiled = run.lower(actions).compile()
+    compile_s = time.time() - t0
+    # XLA's own static cost model for the whole fwd+bwd program: logical
+    # FLOPs and HBM traffic (fused producers are not double counted).
+    # Divided by measured wall time these give achieved-vs-peak utilization
+    # -- the roofline tracking VERDICT r2 asked for (hbm_util / mfu fields).
+    try:
+        ca = compiled.cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        prog_flops = float(ca.get("flops", 0.0))
+        prog_bytes = float(ca.get("bytes accessed", 0.0))
+    except Exception:
+        prog_flops = prog_bytes = 0.0
+
     gg, last = run(actions)
     gg.block_until_ready()
-    compile_s = time.time() - t0
 
     n_rep = int(os.environ.get("BENCH_REPS", "3"))
     t0 = time.time()
@@ -76,6 +89,10 @@ def main():
     steps_per_sec = T / elapsed
     finite = bool(np.all(np.isfinite(np.asarray(gg))))
 
+    # peak numbers for the attached chip (axon tunnel = 1x TPU v5e):
+    # 819 GB/s HBM, ~49 TFLOP/s f32 on the MXU (bf16 peak 197 / 4)
+    PEAK_HBM = 819e9
+    PEAK_F32 = 49.2e12
     out = {
         "metric": f"fwd+bwd sim steps/sec ({n_tri}-tri folding scene, "
         f"{'f32' if dtype == jnp.float32 else 'f64'}, "
@@ -83,6 +100,9 @@ def main():
         "value": round(steps_per_sec, 4),
         "unit": "steps/s",
         "vs_baseline": round(steps_per_sec / REF_STEPS_PER_SEC, 2),
+        "compile_s": round(compile_s, 1),
+        "hbm_util": round(prog_bytes / elapsed / PEAK_HBM, 4),
+        "mfu": round(prog_flops / elapsed / PEAK_F32, 4),
     }
     print(json.dumps(out))
     if not finite:

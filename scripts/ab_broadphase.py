@@ -29,6 +29,9 @@ def main():
     print(f"N={N} pairs={len(con.pair_desc)} hash={con.hash_desc} "
           f"top_k={con.top_k}")
 
+    # force the hash ON regardless of the production crossover threshold
+    spec = dataclasses.replace(
+        spec, contact=dataclasses.replace(con, hash_min_faces=0))
     spec_dense = dataclasses.replace(
         spec, contact=dataclasses.replace(
             con, hash_desc=(None,) * len(con.hash_desc)))

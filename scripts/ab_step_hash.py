@@ -28,6 +28,9 @@ def main():
     sc = bench_scene.make(cloth_N=N, dtype=jnp.float32, hess_refresh=2)
     spec = sc.spec
     con = spec.contact
+    # force the hash ON regardless of the production crossover threshold
+    spec = dataclasses.replace(
+        spec, contact=dataclasses.replace(con, hash_min_faces=0))
     spec_dense = dataclasses.replace(
         spec, contact=dataclasses.replace(
             con, hash_desc=(None,) * len(con.hash_desc)))

@@ -43,7 +43,7 @@ def _build(scene, dtype_str):
     elif scene == "bench24":
         sc = bench_scene.make(cloth_N=24, dtype=dtype, solver=solver,
                               max_newton_iter=8)
-        T = 6
+        T = 8
     else:
         raise SystemExit(f"unknown scene {scene}")
     return sc, T
@@ -65,21 +65,64 @@ def run(dtype_str, scene, out_path):
 
     rng = np.random.default_rng(11)
     dpos = np.zeros((T, sc.n_part, 3))
-    dpos[:, :, 2] = -4e-4
+    # bench24's pad starts ~8 mm above the cloth: descend fast enough to
+    # make contact within T steps (else the gripper grad is vacuously zero)
+    dpos[:, :, 2] = -4e-4 if scene == "folding" else -1.25e-3
     dpos += 5e-5 * rng.normal(size=dpos.shape)
     acts = (jnp.asarray(dpos, dt), jnp.zeros((T, sc.n_part, 3), dt),
             jnp.zeros((T, sc.n_part), dt))
 
-    def fwd_bwd(a):
-        _final, buffers = stepper.simulate(spec, params, sc.state0, a)
-        seed_pos, seed_ar = sc.seed_loss(buffers)
-        res = adjoint.backward(spec, params, buffers, seed_pos, seed_ar)
-        return res.gripper_grad, buffers["pos"][-1]
-
-    gg, last_pos = jax.jit(fwd_bwd)(acts)
-    np.savez(out_path, gripper_grad=np.asarray(gg, np.float64),
-             last_pos=np.asarray(last_pos, np.float64))
+    # two separate jits: the single fused fwd+bwd folding program
+    # reproducibly crashes this image's TPU worker (kernel fault in the
+    # combined compile; both halves run fine separately -- round-3 finding)
+    _final, buffers = jax.jit(
+        lambda a: stepper.simulate(spec, params, sc.state0, a))(acts)
+    seed_pos, seed_ar = sc.seed_loss(buffers)
+    res = jax.jit(
+        lambda b, sp, sa: adjoint.backward(spec, params, b, sp, sa)
+    )(buffers, seed_pos, seed_ar)
+    gg, last_pos = res.gripper_grad, buffers["pos"][-1]
+    save = {"gripper_grad": np.asarray(gg, np.float64),
+            "last_pos": np.asarray(last_pos, np.float64)}
+    if dtype_str == "f64":
+        # persist the tape so the f32 adjoint can be measured on the SAME
+        # trajectory (isolates adjoint-solve error from forward drift)
+        for k, v in buffers.items():
+            save[f"tape_{k}"] = np.asarray(v, np.float64)
+    np.savez(out_path, **save)
     print(f"[{dtype_str}/{scene}] grad norm "
+          f"{float(np.linalg.norm(np.asarray(gg))):.6e} -> {out_path}")
+
+
+def run_adjoint_on_tape(scene, tape_path, out_path):
+    """f32 (default-device) adjoint on the f64 reference tape: the backward
+    sweep -- rebuild contacts, Hessians, GMRES/MINRES adjoint solves at
+    floored f32 tolerances -- runs on the IDENTICAL trajectory the f64
+    oracle differentiated, so the gradient difference is pure adjoint/solve
+    error (the number VERDICT r2 asked for), uncontaminated by f32 forward
+    drift through the chaotic contact dynamics."""
+    import jax
+    import jax.numpy as jnp
+
+    from thinshelllab_tpu.engine import adjoint
+
+    sc, _T = _build(scene, "f32")
+    spec, params = sc.spec, sc.params
+    z = np.load(tape_path)
+    buffers = {k[5:]: jnp.asarray(z[k], jnp.float32)
+               for k in z.files if k.startswith("tape_")}
+    # integer tape entries must stay integer
+    for k in ("final_proj_flag", "final_proj_dir"):
+        if k in buffers:
+            buffers[k] = jnp.asarray(np.asarray(z[f"tape_{k}"]), jnp.int32)
+    seed_pos, seed_ar = sc.seed_loss(buffers)
+    res = jax.jit(
+        lambda b, sp, sa: adjoint.backward(spec, params, b, sp, sa)
+    )(buffers, seed_pos, seed_ar)
+    gg = res.gripper_grad
+    np.savez(out_path, gripper_grad=np.asarray(gg, np.float64),
+             last_pos=np.asarray(z["last_pos"], np.float64))
+    print(f"[f32-adjoint-on-f64-tape/{scene}] grad norm "
           f"{float(np.linalg.norm(np.asarray(gg))):.6e} -> {out_path}")
 
 
@@ -104,16 +147,24 @@ def main():
     mode = sys.argv[1]
     if mode == "run":
         run(sys.argv[2], sys.argv[3], sys.argv[4])
+    elif mode == "adjoint":
+        run_adjoint_on_tape(sys.argv[2], sys.argv[3], sys.argv[4])
     elif mode == "compare":
         compare(sys.argv[2], sys.argv[3])
     elif mode == "all":
         scene = sys.argv[2]
         pa, pb = f"/tmp/grad_{scene}_f32.npz", f"/tmp/grad_{scene}_f64.npz"
+        pc = f"/tmp/grad_{scene}_f32adj.npz"
         here = os.path.abspath(__file__)
         for d, p in (("f32", pa), ("f64", pb)):
             subprocess.run([sys.executable, here, "run", d, scene, p],
                            check=True)
+        subprocess.run([sys.executable, here, "adjoint", scene, pb, pc],
+                       check=True)
+        print("end-to-end (includes f32 forward drift):")
         compare(pa, pb, scene)
+        print("adjoint-isolated (same f64 tape):")
+        compare(pc, pb, scene)
     else:
         raise SystemExit(f"unknown mode {mode}")
 

@@ -201,3 +201,38 @@ def test_pallas_dia_spmv_matches_xla_interpret():
     yT_pl = dia_spmv.dia_spmv(dia, xm2, plan.offsets, interpret=True)
     np.testing.assert_allclose(np.asarray(yT_pl), np.asarray(yT_xla),
                                rtol=1e-12, atol=1e-12)
+
+
+def test_contact_split_hvp_matches_unsplit():
+    """The frozen-source contact split (elements.build_contact_split: exact
+    per-vertex diagonal for fully-frozen-source pairs + compacted general
+    slots) must reproduce the unsplit merged-group contact matvec exactly,
+    on a settled bench state with active contacts."""
+    sc = bench_scene.make(cloth_N=16, dtype=jnp.float64, solver="cg")
+    spec, params = sc.spec, sc.params
+    assert any(spec.contact.frozen_src), "table pair should classify"
+    assert elements.contact_static_split(spec) is not None
+
+    T = 3
+    acts = (jnp.asarray(np.tile([[0.0, 0.0, -4e-4]], (T, 1, 1))),
+            jnp.zeros((T, 1, 3)), jnp.zeros((T, 1)))
+    st_f, _ = stepper.rollout(spec, params,
+                              jax.tree.map(jnp.asarray, sc.state0), acts)
+    contact, _, _ = stepper.build_contacts(
+        spec, params, st_f.pos, st_f.pos, st_f.proj_flag, st_f.proj_dir)
+    assert int(contact.active.sum()) > 0
+    groups = elements.all_groups(spec, params, st_f.pos, st_f.ref_angle,
+                                 contact, with_hess=True, spd=False)
+    stt = solver.prepare_solver_state(spec, groups, jnp.float64)
+    assert "Dcon" in stt
+    A, _ = solver._ops_from_state(spec, stt)
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(spec.NV, 3)))
+    y_split = A(x)
+    g2 = {"idx": stt["idx"], "H": stt["H"]}
+    y_ref = elements.hvp_dia_static(spec, stt["dia"], stt.get("nbr"), x) \
+        + elements.hvp_dia_contact(spec, g2, x)
+    np.testing.assert_allclose(np.asarray(y_split), np.asarray(y_ref),
+                               rtol=0, atol=1e-12 * float(
+                                   jnp.abs(y_ref).max()))

@@ -145,8 +145,12 @@ def test_spatial_hash_broadphase_matches_dense():
     spec = sc.spec
     con = spec.contact
     assert any(h is not None for h in con.hash_desc), (
-        "bench cloth_N=32 (2048 faces) should trigger the hash path"
+        "bench cloth_N=32 (2048 faces) should build hash descriptors"
     )
+    # force USE of the hash at this size (the default hash_min_faces keeps
+    # production specs on the measured-faster dense sweep below ~32k faces)
+    con = dataclasses.replace(con, hash_min_faces=0)
+    spec = dataclasses.replace(spec, contact=con)
     # exhaustive oracle: dense path with top_k = max nf evaluates EVERY
     # face exactly (no K-by-centroid truncation) -- the selection the
     # reference's uniform grid makes (engine/geometry.py:96-229)
@@ -217,3 +221,89 @@ def test_spatial_hash_broadphase_matches_dense():
         assert n_mis <= max(5, 0.02 * max(int(m.sum()), 1)), (
             f"trial {trial}: {n_mis} tri mismatches of {int(m.sum())}")
         assert m.sum() > 0 or trial == 0
+
+
+def test_self_contact_hairpin_end_to_end():
+    """Exercises the dormant-in-the-reference self-contact path end to end
+    (reference engine/geometry_self.py:166-298): a single cloth folded into
+    a hairpin whose top layer hovers within eps_contact of the bottom layer
+    must (a) produce found self-projections that are face-INTERIOR only and
+    never on incident faces, (b) survive a full implicit time_step with
+    finite positions, and (c) yield finite energy gradients through the
+    active self-contact set."""
+    import jax
+
+    from thinshelllab_tpu.core.builder import SceneBuilder
+    from thinshelllab_tpu.engine import elements, stepper
+
+    N = M = 12
+    size = 0.1
+    dx = size / N
+    gap = 3e-4  # < eps_contact 4e-4 -> contacts activate
+    pos = np.zeros(((N + 1) * (M + 1), 3))
+    for i in range(N + 1):
+        for j in range(M + 1):
+            k = i * (M + 1) + j
+            if i <= N // 2:
+                pos[k] = (i * dx, j * dx, 0.0)
+            else:
+                # offset BOTH tangential axes so top-layer verts project
+                # strictly inside bottom-layer faces (grid-aligned layers
+                # put every projection exactly on a shared edge)
+                pos[k] = ((N - i) * dx + 0.37 * dx, j * dx + 0.43 * dx, gap)
+
+    b = SceneBuilder(dt=5e-3, k_contact=10000.0, eps_contact=4e-4,
+                     eps_v=1e-2, damping=1.0, max_newton_iter=4,
+                     gravity=(0.0, 0.0, -9.8), plastic=False,
+                     solver="dense", dtype=jnp.float64)
+    cloth = b.add_cloth(N, M, size, rho=40.0, init_pos=pos)
+    b.add_self_contact_pair(cloth, b.new_mu_slot(0.5))
+
+    def freeze_bottom(bb, frozen):
+        vs, _ = bb.vrange(cloth)
+        for i in range(N // 2 + 1):
+            frozen[vs + i * (M + 1) : vs + (i + 1) * (M + 1)] = True
+
+    b.freeze(freeze_bottom)
+    spec, state0, params = b.build()
+    con = spec.contact
+    assert bool(np.asarray(con.cq_self).any())
+
+    p = jnp.asarray(state0.pos)
+    vn = collision.vertex_normals(p, spec.faces, spec.NV)
+    C = con.capacity
+    flag, pdir, tri, w = collision.projection_query(
+        spec, p, vn, jnp.zeros((C,), jnp.int32), jnp.zeros((C,), jnp.int32))
+    found = np.asarray(flag).astype(bool)
+    assert found.sum() > 0, "hairpin layers must detect self-contact"
+    # interior-only: every found projection has strictly interior weights
+    wf = np.asarray(w)[found]
+    assert (wf > 1e-9).all() and (wf < 1 - 1e-9).all(), (
+        "self projections must be face-interior (case 0)")
+    # never onto an incident face
+    trif = np.asarray(tri)[found]
+    qf = np.asarray(con.cq_vert)[found]
+    assert not (trif == qf[:, None]).any()
+
+    # active contact set + finite energy gradient through it
+    contact, flag2, _ = stepper.build_contacts(
+        spec, params, p, p, jnp.zeros((C,), jnp.int32),
+        jnp.zeros((C,), jnp.int32))
+    assert int(np.asarray(contact.active).sum()) > 0
+
+    def en_of(pp):
+        return elements.total_energy(
+            spec, params, pp, p, jnp.zeros_like(p),
+            jnp.asarray(state0.ref_angle), contact)
+
+    g = jax.grad(en_of)(p * 1.0)
+    assert bool(jnp.isfinite(g).all())
+    assert float(jnp.abs(g).max()) > 0.0
+
+    # full implicit step stays finite and the top layer does not fall
+    # through the (frozen) bottom layer
+    action = (jnp.zeros((0, 3)), jnp.zeros((0, 3)), jnp.zeros((0,)))
+    st1, _ = stepper.time_step(spec, params, state0, action)
+    assert bool(jnp.isfinite(st1.pos).all())
+    top = np.asarray(st1.pos)[(M + 1) * (N // 2 + 1):, 2]
+    assert top.min() > -1e-4, "top layer must not pass through the bottom"

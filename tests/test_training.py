@@ -172,3 +172,46 @@ def test_recurrent_ppo_learns_bandit():
     tr.train(verbose=False)
     a, _ = tr.act(env.reset())
     assert float(np.mean(a[:, 0] / tr.action_scale)) > 0.3, a[:, 0]
+
+
+def test_rollout_stop_step_matches_serial_replay():
+    """CMA-ES early-stop parity (reference run_cmaes_all.py:124-161): the
+    tape-based rollout_stop_step must find the same first-bad step as a
+    serial per-step check_early_stop replay, on a trajectory engineered to
+    trip the force bound mid-rollout (pad driven hard into the table)."""
+    from thinshelllab_tpu.engine import stepper
+    from thinshelllab_tpu.scenes.base import check_early_stop
+    from thinshelllab_tpu.train.cmaes import rollout_stop_step
+    from thinshelllab_tpu.core.spec import SimState, GripperState
+
+    sc = folding.make(table_n=4, max_newton_iter=4)
+    spec, params = sc.spec, sc.params
+    T = 8
+    # ram the pad downward: forces blow past 10 N within a few steps
+    dpos = np.zeros((T, sc.n_part, 3))
+    dpos[:, :, 2] = -2.5e-3
+    acts = (jnp.asarray(dpos), jnp.zeros((T, sc.n_part, 3)),
+            jnp.zeros((T, sc.n_part)))
+    _final, buffers = stepper.simulate(spec, params, sc.state0, acts)
+
+    stop_step, early = rollout_stop_step(spec, params, buffers)
+    assert bool(early), "the rammed pad must trip the force bound"
+    assert 0 < int(stop_step) < T + 1
+
+    # serial replay: first t (tape index) where check_early_stop fires
+    first_bad = None
+    for t in range(T + 1):
+        st = SimState(
+            pos=buffers["pos"][t], vel=buffers["pos"][t] * 0,
+            ref_angle=buffers["ref_angle"][t],
+            proj_flag=buffers["final_proj_flag"],
+            proj_dir=buffers["final_proj_dir"],
+            gripper=GripperState(
+                pos=buffers["gripper_pos"][t], rot=buffers["gripper_rot"][t],
+                dist=buffers["gripper_dist"][t],
+                pad_local=buffers["pad_local"][t]))
+        if bool(check_early_stop(spec, params, st, frame=t)):
+            first_bad = t
+            break
+    assert first_bad is not None
+    assert int(stop_step) == first_bad, (int(stop_step), first_bad)

@@ -268,6 +268,18 @@ class SceneBuilder:
         for fn in self.frozen_fns:
             fn(self, frozen)
 
+        # classify pairs whose whole source-face vertex set is frozen: their
+        # contact Hessian blocks reduce to the query vertex's diagonal block
+        # (spec.ContactSpec.frozen_src; consumed by
+        # elements.contact_static_split)
+        fr_all = frozen.all(axis=1)
+        frozen_src = []
+        for (src, _tgt, _mu, is_self) in self.pairs:
+            sb = self.bodies[src]
+            svids = np.unique(sb.surfaces) + sb.v_offset
+            frozen_src.append(bool(fr_all[svids].all()) and not is_self)
+        contact = dataclasses.replace(contact, frozen_src=tuple(frozen_src))
+
         nd = _np_dtype(d)
         spec = SceneSpec(
             hvp_slots=None,

@@ -98,6 +98,23 @@ class ContactSpec:
     # coords are clamped into the grid at runtime, which keeps candidate
     # supersets correct (out-of-range content merges into boundary cells).
     hash_desc: Tuple = static_field(default=())
+    # minimum source-face count for a pair to USE its hash descriptor at
+    # query time. Measured on the TPU (scripts/ab_step_hash.py, round 3):
+    # the hash's 27*cap candidate GATHERS are index-rate limited (~0.5G
+    # idx/s) while the dense L-inf sweep is pure vectorized elementwise, so
+    # dense wins up to ~10k faces (219 vs 235 ms/step at bench size) and
+    # the crossover sits in the tens of thousands. Descriptors are still
+    # built from 2048 faces up so tests/large scenes can engage the path.
+    hash_min_faces: int = static_field(default=32768)
+    # static per-pair flag: True when EVERY vertex of the pair's source-face
+    # set is fully frozen (e.g. cloth queries against a rigid table). For
+    # such pairs the masked contact Hessian block reduces to the query
+    # vertex's own (3, 3) diagonal block -- all face rows/columns vanish --
+    # so their per-CG-iteration gather/scatter collapses into a per-vertex
+    # diagonal accumulated once per operator build
+    # (elements.contact_static_split). In the bench scene this removes the
+    # ~half of contact slots that carry the resting cloth.
+    frozen_src: Tuple = static_field(default=())
 
 
 @pytree_dataclass

@@ -266,7 +266,12 @@ def friction_eval(spec, contact: ContactSet, pos, with_hess: bool, spd: bool):
     xc = jnp.einsum("ck,cki->ci", w, x[:, :3])
     dx = x[:, 3] - xc - contact.dx0
     u = jnp.einsum("cti,ci->ct", T, dx)  # (C, 2)
-    r = jnp.linalg.norm(u, axis=1)
+    # guarded norm: u is EXACTLY zero at the contact-build state (dx0
+    # cancels by construction) and d|u|/du is NaN there; f0 is even in u so
+    # the epsilon is exact for the gradient (cf. energies.friction_energy).
+    # linalg.norm here NaN-poisoned grads of any state evaluated at build
+    # positions -- caught by the self-contact end-to-end test.
+    r = jnp.sqrt(jnp.sum(u * u, axis=1) + jnp.finfo(u.dtype).tiny)
 
     f1 = jnp.where(r > eh, 1.0 / jnp.maximum(r, 1e-300), -r / eh**2 + 2.0 / eh)
     E = k * en.f0_smooth(r, spec.eps_v, spec.dt)
@@ -1089,21 +1094,97 @@ def hvp_dia_static(spec, dia, nbr_left, x):
     return y
 
 
+def contact_static_split(spec):
+    """Static partition of the merged contact group's slots.
+
+    A pair whose ENTIRE source-face vertex set is frozen
+    (ContactSpec.frozen_src, computed by the builder) has every face
+    row/column of its (4, 4, 3, 3) contact blocks masked away: the exact
+    masked contribution of each slot is just the query vertex's (3, 3)
+    diagonal block Hd[slot, 3, 3] (contact idx layout [i0, i1, i2, q]).
+    Those slots collapse into a per-vertex diagonal accumulated ONCE per
+    operator build (static slice-adds -- builder queries are arange over the
+    target body), leaving only the remaining pairs on the per-CG-iteration
+    gather/scatter path. At bench size this removes ~half of the 43k dynamic
+    indices the contact matvec moved per iteration (the top CG cost in the
+    round-3 device trace).
+
+    Returns (diag_ranges, gen_ranges) of (cq_start, count[, v_lo]) tuples,
+    or None when no pair qualifies."""
+    import numpy as _np
+
+    con = spec.contact
+    if not con.frozen_src or not con.pair_desc:
+        return None
+    diag_ranges, gen_ranges = [], []
+    for pi, (cq_start, count, _fs, _nf, is_self) in enumerate(con.pair_desc):
+        qual = (pi < len(con.frozen_src) and con.frozen_src[pi]
+                and not is_self)
+        if qual:
+            v_lo = int(con.cq_vert[cq_start])
+            contig = bool(
+                (_np.asarray(con.cq_vert[cq_start : cq_start + count])
+                 == _np.arange(v_lo, v_lo + count)).all()
+            )
+            if contig:
+                diag_ranges.append((cq_start, count, v_lo))
+                continue
+        gen_ranges.append((cq_start, count))
+    if not diag_ranges:
+        return None
+    return tuple(diag_ranges), tuple(gen_ranges)
+
+
+def build_contact_split(spec, idx_c, H_c, dtype):
+    """Per-operator-build arrays for the split contact matvec: the exact
+    frozen-source diagonal Dcon (NV, 3, 3) via static slice-adds, plus the
+    compacted (idx, H) of the remaining general slots (static slices, no
+    gather). idx_c/H_c are the contact rows of the fused group."""
+    split = contact_static_split(spec)
+    if split is None:
+        return None
+    diag_ranges, gen_ranges = split
+    NV = spec.NV
+    unf = jnp.asarray(~spec.frozen, dtype)
+    Dcon = jnp.zeros((NV, 3, 3), dtype)
+    for (cs, cnt, v_lo) in diag_ranges:
+        Dcon = Dcon.at[v_lo : v_lo + cnt].add(H_c[cs : cs + cnt, 3, 3])
+    Dcon = Dcon * unf[:, :, None] * unf[:, None, :]
+    if gen_ranges:
+        idx_gen = jnp.concatenate(
+            [idx_c[cs : cs + cnt] for (cs, cnt) in gen_ranges], axis=0)
+        H_gen = jnp.concatenate(
+            [H_c[cs : cs + cnt] for (cs, cnt) in gen_ranges], axis=0)
+    else:
+        idx_gen = idx_c[:0]
+        H_gen = H_c[:0]
+    return {"Dcon": Dcon, "idx_con": idx_gen, "H_con": H_gen}
+
+
 def hvp_dia_contact(spec, fused, x):
-    """Dynamic contact part of H @ x (gather + scatter over the merged
-    contact group), frozen-masked."""
+    """Dynamic contact part of H @ x, frozen-masked. With a frozen-source
+    split present in `fused` (keys Dcon/idx_con/H_con from
+    build_contact_split), the frozen-source slots apply as a fused
+    diagonal einsum and only the general slots gather/scatter; otherwise
+    the whole merged contact group takes the gather/scatter path."""
     unf = jnp.concatenate(
         [jnp.asarray(~spec.frozen, x.dtype), jnp.zeros((1, 3), x.dtype)]
     )
     xp = jnp.concatenate([x, jnp.zeros((1, 3), x.dtype)], axis=0)
     xm = xp * unf
-    ns = static_block_count(spec)
-    idx = fused["idx"][ns:]
-    Hd = fused["H"][ns:]
+    if "Dcon" in fused:
+        idx = fused["idx_con"]
+        Hd = fused["H_con"]
+        y_diag = jnp.einsum("nij,nj->ni", fused["Dcon"], x)
+    else:
+        ns = static_block_count(spec)
+        idx = fused["idx"][ns:]
+        Hd = fused["H"][ns:]
+        y_diag = jnp.zeros_like(x)
     contrib = jnp.einsum("eabij,ebj->eai", Hd, xm[idx])
     yp = jnp.zeros_like(xp)
     yp = yp.at[idx].add(contrib * unf[idx])
-    return yp[: spec.NV]
+    return yp[: spec.NV] + y_diag
 
 
 def hvp_dia(spec, dia, nbr_left, fused, x):

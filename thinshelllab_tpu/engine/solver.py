@@ -66,6 +66,11 @@ def prepare_solver_state(spec: SceneSpec, groups, dtype):
         D, Dc = elements.diag_blocks_dia(spec, groups, st["dia"],
                                          st.get("nbr"), return_contact=True)
         st["D"], st["Dc"] = D, Dc
+        ns = elements.static_block_count(spec)
+        split = elements.build_contact_split(
+            spec, st["idx"][ns:], groups["H"][ns:], dtype)
+        if split is not None:
+            st.update(split)
     elif spec.hvp_slots is not None:
         st["nbr"] = elements.gather_neighbor_blocks(spec, groups, dtype)
         st["D"] = elements.diag_blocks(spec, groups)
@@ -76,6 +81,9 @@ def prepare_solver_state(spec: SceneSpec, groups, dtype):
 
 def _ops_from_state(spec: SceneSpec, st):
     groups = {"idx": st["idx"], "H": st["H"]}
+    for k in ("Dcon", "idx_con", "H_con"):
+        if k in st:
+            groups[k] = st[k]
     if spec.dia is not None:
         nbr = st.get("nbr")
 

@@ -235,6 +235,8 @@ def projection_query(spec: SceneSpec, pos, vn, proj_flag, proj_dir):
         K = min(con.top_k, nf)
         cent = centroids[f_start : f_start + nf]  # (nf, 3) static slice
         hd = con.hash_desc[pi] if pi < len(con.hash_desc) else None
+        if nf < con.hash_min_faces:
+            hd = None  # dense sweep measured faster below the crossover
         if hd is not None:
             grid = _hash_grid(cent, cutoff, hd[:3])  # built once per pair
         chunk = max(1, min(count, max(1, max_elems // max(nf, 1))))

@@ -138,6 +138,54 @@ def decode_genome(x, tot_timestep, abs_step, n_part, max_dist=0.015,
     return agent
 
 
+def rollout_stop_step(spec, params, buffers):
+    """Early-stop accounting over a completed rollout tape: the first step
+    whose state the reference would abort on (run_cmaes_all.py:124-161 via
+    BaseScene.check_early_stop:1559-1584 -- any effector force component
+    > 10 N, NaN positions, or contact lost after frame 10).
+
+    EXACT parity with the reference's live per-step abort, not an
+    approximation: check_early_stop's inputs (effector_total_forces and the
+    NaN test) depend ONLY on positions and the gripper pose at step t --
+    both on the tape -- so evaluating them post-hoc over the tape finds the
+    identical first-bad step, and the cumsum latch reproduces 'no later
+    step runs' semantics for the reward accounting. Asserted step-for-step
+    against a serial check_early_stop replay in
+    tests/test_training.py::test_rollout_stop_step_matches_serial_replay.
+
+    Returns (stop_step, early)."""
+    T = buffers["pos"].shape[0]
+    if spec.gripper.n_part == 0:
+        return T, False
+
+    def force_at(t):
+        st = SimState(
+            pos=buffers["pos"][t], vel=buffers["pos"][t] * 0,
+            ref_angle=buffers["ref_angle"][t],
+            proj_flag=buffers["final_proj_flag"],
+            proj_dir=buffers["final_proj_dir"],
+            gripper=GripperState(
+                pos=buffers["gripper_pos"][t],
+                rot=buffers["gripper_rot"][t],
+                dist=buffers["gripper_dist"][t],
+                pad_local=buffers["pad_local"][t],
+            ),
+        )
+        return effector_total_forces(spec, params, st)
+
+    forces = jax.vmap(force_at)(jnp.arange(T))  # (T, n_part, 3)
+    bad = jnp.any(jnp.abs(forces) > 10.0, axis=(1, 2))
+    bad = bad | jnp.any(jnp.isnan(buffers["pos"]), axis=(1, 2))
+    no_contact = (
+        jnp.any(jnp.linalg.norm(forces, axis=2) < 0.2, axis=1)
+        & (jnp.arange(T) > 10)
+    )
+    bad = bad | no_contact
+    stopped = jnp.cumsum(bad.astype(jnp.int32)) > 0
+    stop_step = jnp.sum(~stopped)
+    return stop_step, jnp.any(bad)
+
+
 @dataclasses.dataclass
 class CMAESDriver:
     scene: TaskScene
@@ -164,39 +212,7 @@ class CMAESDriver:
             final, buffers = stepper.simulate(spec, params, self.scene.state0,
                                               actions)
             task_reward = reward_fn(buffers)
-            # survival bonus + early-stop accounting (reference :116-161):
-            # find the first step whose effector force diverges
-            T = buffers["pos"].shape[0]
-            if spec.gripper.n_part > 0:
-                def force_at(t):
-                    st = SimState(
-                        pos=buffers["pos"][t], vel=buffers["pos"][t] * 0,
-                        ref_angle=buffers["ref_angle"][t],
-                        proj_flag=buffers["final_proj_flag"],
-                        proj_dir=buffers["final_proj_dir"],
-                        gripper=GripperState(
-                            pos=buffers["gripper_pos"][t],
-                            rot=buffers["gripper_rot"][t],
-                            dist=buffers["gripper_dist"][t],
-                            pad_local=buffers["pad_local"][t],
-                        ),
-                    )
-                    return effector_total_forces(spec, params, st)
-
-                forces = jax.vmap(force_at)(jnp.arange(T))  # (T, n_part, 3)
-                bad = jnp.any(jnp.abs(forces) > 10.0, axis=(1, 2))
-                bad = bad | jnp.any(jnp.isnan(buffers["pos"]), axis=(1, 2))
-                no_contact = (
-                    jnp.any(jnp.linalg.norm(forces, axis=2) < 0.2, axis=1)
-                    & (jnp.arange(T) > 10)
-                )
-                bad = bad | no_contact
-                stopped = jnp.cumsum(bad.astype(jnp.int32)) > 0
-                stop_step = jnp.sum(~stopped)
-                early = jnp.any(bad)
-            else:
-                stop_step = T
-                early = False
+            stop_step, early = rollout_stop_step(spec, params, buffers)
             reward = stop_step / self.tot_timestep * 0.1
             reward = reward + jnp.where(early, 0.0, task_reward + 5.0)
             return reward
