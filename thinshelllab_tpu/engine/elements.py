@@ -1042,13 +1042,20 @@ def diag_blocks_dia(spec, fused, dia, nbr_left, return_contact=False):
 
 
 def use_pallas_spmv(spec, dtype) -> bool:
-    """'auto' resolves to the XLA path: with the (n_off, 3, 3, NVp) layout
-    (NVp padded to a lane multiple) the padded-slices einsum measured 15.2
-    us/apply at bench size vs 20.6 us for the Pallas streaming kernel
-    (scripts/ab_dia_spmv.py, round 3) -- the round-2 0.9 ms cost was the
-    store layout, not XLA. The kernel is kept behind spmv='pallas'."""
+    """'auto' resolves to the Pallas kernel on TPU f32, XLA elsewhere.
+
+    The isolated microbenchmark favors XLA (15.2 vs 20.6 us/apply,
+    scripts/ab_dia_spmv.py) but the FULL step favors the kernel by ~14
+    ms/step (193.6 vs 207.3 ms, scripts/ab_step_spmv.py): the step is
+    dispatch-latency bound (bench.py cost-model fields: hbm_util ~8%, mfu
+    ~0.04%), and the XLA formulation issues ~70 dynamic-slice HLOs per
+    apply (x ~4 applies per CG iteration) while the kernel is ONE op.
+    Microbenchmarks hide dispatch latency behind pipelining; op count is
+    the real currency here."""
     if spec.spmv == "pallas":
         return True
+    if spec.spmv == "auto":
+        return dtype == jnp.float32 and jax.default_backend() == "tpu"
     return False
 
 

@@ -365,18 +365,25 @@ def _gmres_loop(A, M, b, tol, m, max_total=None):
         max_total = m
 
     def cycle(r):
-        """One GMRES(m) cycle on A (M y) = r. Returns (dx, res, k, stalled)."""
+        """One GMRES(m) cycle on A (M y) = r. Returns (dx, res, k, stalled).
+
+        The classical per-iteration Givens recurrence replays k rotations
+        on the new column (a dynamic fori_loop of scalar updates: O(m^2)
+        SEQUENTIAL dispatches per cycle -- several ms of pure launch
+        latency on a dispatch-bound step). Instead the accumulated rotation
+        product Q (m+1, m+1) is carried dense: pre-rotating the new column
+        is ONE tiny matvec, appending the new rotation is a 2-row update,
+        and the final least-squares solve is one masked triangular solve."""
         beta = jnp.linalg.norm(r)
         V = jnp.zeros((m + 1, n), d)
         H = jnp.zeros((m + 1, m), d)
-        cs = jnp.zeros((m,), d)
-        sn = jnp.zeros((m,), d)
+        Q = jnp.eye(m + 1, dtype=d)
         g = jnp.zeros((m + 1,), d)
         V = V.at[0].set(r / jnp.maximum(beta, 1e-300))
         g = g.at[0].set(beta)
 
         def cond(carry):
-            V, H, cs, sn, g, k, res, best, stall = carry
+            V, H, Q, g, k, res, best, stall = carry
             # stagnation exit: at the f32 residual floor (measured ~7e-4 at
             # bench size) the target tol may be unreachable; stop once 8
             # consecutive iterations fail to improve the best residual by 3%
@@ -385,7 +392,7 @@ def _gmres_loop(A, M, b, tol, m, max_total=None):
             )
 
         def body(carry):
-            V, H, cs, sn, g, k, _res, best, stall = carry
+            V, H, Q, g, k, _res, best, stall = carry
             v = jax.lax.dynamic_index_in_dim(V, k, keepdims=False)
             w = A(M(v.reshape(shape))).reshape(-1)
             # modified Gram-Schmidt against the filled basis (masked full dot)
@@ -397,17 +404,10 @@ def _gmres_loop(A, M, b, tol, m, max_total=None):
             w = w - h2 @ V
             h = h + h2
             wn = jnp.linalg.norm(w)
-            H = H.at[:, k].set(h)
-            H = H.at[k + 1, k].set(wn)
+            h = h.at[k + 1].set(wn)
             V = V.at[k + 1].set(w / jnp.maximum(wn, 1e-300))
-            # apply existing Givens rotations to the new column
-            def rot(i, Hc):
-                hi = Hc[i]
-                hip = Hc[i + 1]
-                return Hc.at[i].set(cs[i] * hi + sn[i] * hip).at[i + 1].set(
-                    -sn[i] * hi + cs[i] * hip
-                )
-            Hc = jax.lax.fori_loop(0, k, rot, H[:, k])
+            # pre-rotate the raw column by the accumulated rotations
+            Hc = Q @ h
             # new rotation to zero Hc[k+1]
             denom = jnp.sqrt(Hc[k] ** 2 + Hc[k + 1] ** 2)
             denom = jnp.maximum(denom, 1e-300)
@@ -415,32 +415,31 @@ def _gmres_loop(A, M, b, tol, m, max_total=None):
             s_new = Hc[k + 1] / denom
             Hc = Hc.at[k].set(denom).at[k + 1].set(0.0)
             H = H.at[:, k].set(Hc)
-            cs = cs.at[k].set(c_new)
-            sn = sn.at[k].set(s_new)
+            rk = jax.lax.dynamic_slice_in_dim(Q, k, 2, axis=0)  # rows k, k+1
+            rot = jnp.stack(
+                [c_new * rk[0] + s_new * rk[1],
+                 -s_new * rk[0] + c_new * rk[1]])
+            Q = jax.lax.dynamic_update_slice_in_dim(Q, rot, k, axis=0)
             gk = g[k]
             g = g.at[k].set(c_new * gk).at[k + 1].set(-s_new * gk)
             res = jnp.abs(g[k + 1])
             improved = res < 0.97 * best
             best = jnp.minimum(best, res)
             stall = jnp.where(improved, 0, stall + 1)
-            return V, H, cs, sn, g, k + 1, res, best, stall
+            return V, H, Q, g, k + 1, res, best, stall
 
-        V, H, cs, sn, g, k, res, _best, stall = jax.lax.while_loop(
-            cond, body, (V, H, cs, sn, g, 0, beta, beta, 0)
+        V, H, Q, g, k, res, _best, stall = jax.lax.while_loop(
+            cond, body, (V, H, Q, g, 0, beta, beta, 0)
         )
 
-        # back-substitution on the k x k upper-triangular system (masked to
-        # the filled size; unfilled diagonal entries replaced by 1, zero rhs)
+        # least-squares solve on the filled k x k upper triangle in ONE
+        # triangular solve (unfilled rows/cols replaced by identity)
         filled = jnp.arange(m) < k
-        diag = jnp.where(filled, jnp.diagonal(H[:m, :m]), 1.0)
+        fm = filled[:, None] & filled[None, :]
+        T = jnp.where(fm, H[:m, :m], jnp.eye(m, dtype=d))
         rhs = jnp.where(filled, g[:m], 0.0)
-
-        def back(i_rev, y):
-            i = m - 1 - i_rev
-            yi = (rhs[i] - H[i, :m] @ y) / diag[i]
-            return y.at[i].set(jnp.where(filled[i], yi, 0.0))
-
-        y = jax.lax.fori_loop(0, m, back, jnp.zeros((m,), d))
+        y = jax.scipy.linalg.solve_triangular(T, rhs, lower=False)
+        y = jnp.where(filled, y, 0.0)
         return M((y @ V[:m]).reshape(shape)), res, k, stall >= 8
 
     def outer_cond(carry):
