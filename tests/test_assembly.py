@@ -236,3 +236,85 @@ def test_contact_split_hvp_matches_unsplit():
     np.testing.assert_allclose(np.asarray(y_split), np.asarray(y_ref),
                                rtol=0, atol=1e-12 * float(
                                    jnp.abs(y_ref).max()))
+
+
+@pytest.mark.parametrize("make,kw", [
+    (bench_scene.make, dict(cloth_N=12)),   # contact + tactile/ball tets
+    (folding.make, dict(table_n=4)),        # plastic cloth, pull path
+])
+def test_linesearch_energy_matches_total(make, kw):
+    """linesearch_energy_fn (gathers hoisted out of the alpha loop) must
+    equal total_energy(pos - alpha p) exactly for every alpha, on scenes
+    covering all element soups + active contacts."""
+    sc = make(dtype=jnp.float64, solver="cg", **kw)
+    spec, params = sc.spec, sc.params
+    state = sc.state0
+    rng = np.random.default_rng(3)
+    pos = jnp.asarray(state.pos) + 1e-4 * rng.normal(size=state.pos.shape)
+    vel = jnp.asarray(rng.normal(size=state.pos.shape) * 1e-3)
+    prev = jnp.asarray(state.pos)
+    ref = jnp.asarray(state.ref_angle)
+    contact, _, _ = stepper.build_contacts(
+        spec, params, pos, pos, jnp.asarray(state.proj_flag),
+        jnp.asarray(state.proj_dir))
+    p = jnp.asarray(rng.normal(size=pos.shape) * 1e-3)
+
+    E_of = elements.linesearch_energy_fn(
+        spec, params, pos, p, prev, vel, ref, contact)
+    for alpha in (1.0, 0.5, 0.125, 0.0):
+        want = elements.total_energy(spec, params, pos - alpha * p, prev,
+                                     vel, ref, contact)
+        got = E_of(jnp.asarray(alpha, pos.dtype))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-12)
+
+
+def test_pallas_dia_precond_matches_xla_interpret():
+    """dia_precond (fused smoothing-polynomial kernel, interpret mode) vs an
+    XLA replica of the SAME polynomial (A' = off-band DIA + full masked
+    block diagonal folded into offset 0), on the bench scene's assembled
+    operator with active contacts."""
+    from thinshelllab_tpu.ops import dia_spmv
+
+    sc = bench_scene.make(cloth_N=16, dtype=jnp.float64, solver="cg")
+    spec, params, pos, groups = _system(sc)
+    st = solver.prepare_solver_state(spec, groups, jnp.float64)
+    D, Dinv = st["D"], solver._inv3x3(st["D"])
+    plan = spec.dia
+    NV, NVp = spec.NV, plan.NVp
+    off0 = plan.offsets.index(0)
+    unf = jnp.asarray(~spec.frozen, jnp.float64)
+
+    dia_pre = st["dia"].at[off0, :, :, :NV].set(jnp.transpose(D, (1, 2, 0)))
+    dinv_l = jnp.zeros((3, 3, NVp)).at[:, :, :NV].set(
+        jnp.transpose(Dinv, (1, 2, 0)))
+    unf2 = jnp.zeros((3, NVp)).at[:, :NV].set(unf.T)
+
+    rng = np.random.default_rng(11)
+    r = jnp.asarray(rng.normal(size=(NV, 3)))
+    w, sweeps = spec.precond_omega, 3
+    r2 = jnp.zeros((3, NVp)).at[:, :NV].set((r * unf).T)
+
+    z2 = dia_spmv.dia_precond(dia_pre, r2, unf2, dinv_l, plan.offsets,
+                              w, sweeps, interpret=True)
+
+    # XLA replica of the kernel's polynomial
+    P = plan.max_abs_off
+
+    def spmv(x2):
+        xpad = jnp.concatenate(
+            [jnp.zeros((3, P)), x2, jnp.zeros((3, P))], axis=1)
+        shifted = jnp.stack(
+            [jax.lax.dynamic_slice_in_dim(xpad, P + o, NVp, axis=1)
+             for o in plan.offsets], axis=1)
+        return jnp.einsum("oijn,jon->in", dia_pre, shifted)
+
+    def dmul(x2):
+        return jnp.einsum("ijn,jn->in", dinv_l, x2)
+
+    z = w * dmul(r2)
+    for _ in range(sweeps):
+        z = z + w * dmul(r2 - unf2 * spmv(z))
+    np.testing.assert_allclose(np.asarray(z2), np.asarray(z),
+                               rtol=1e-12, atol=1e-13 * float(
+                                   jnp.abs(z).max()))

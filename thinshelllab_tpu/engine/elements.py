@@ -314,6 +314,83 @@ def total_energy(spec, params, pos, prev_pos, vel, ref_angle, contact):
     return e + e_m + e_b + e_n + e_t + e_c + e_f
 
 
+def linesearch_energy_fn(spec, params, pos, p, prev_pos, vel, ref_angle,
+                         contact):
+    """Energy along the search line, E(alpha) = total_energy(pos - alpha p),
+    with every soup gather hoisted out of the alpha loop.
+
+    Gathering commutes with the affine step ((pos - a p)[idx] =
+    pos[idx] - a p[idx]), so each backtracking trial is pure elementwise
+    work on pre-gathered stencils. Besides skipping the per-trial gathers,
+    this removes the row-major ((NV,3) {1,0}) layout requirement inside the
+    line-search while_loop: with gathers present XLA carried pos in {1,0}
+    there while the Newton/CG loops carry {0,1}, inserting boundary
+    layout-conversion copies measured at ~64 ms/step (x16) at bench size.
+
+    Matches total_energy term by term (same masks, same canon-stencil
+    substitution on inactive hinges, same friction sqrt guard)."""
+    c = spec.cloth
+    kl, ka = _face_params(spec, params)
+    xm, dm = pos[c.f2v], p[c.f2v]
+
+    mask = c.hinge_mask
+    canon = _CANON_STENCIL.astype(pos.dtype)[None]
+    xb = jnp.where(mask[:, None, None], pos[c.hinge_verts], canon)
+    db = jnp.where(mask[:, None, None], p[c.hinge_verts], 0.0)
+    kb = params.kb[c.hinge_cloth]
+    sel = jnp.asarray(c.hinge_sel, pos.dtype)
+    mb = mask.astype(pos.dtype)
+
+    S = _S_TET.astype(pos.dtype)
+    tet_parts = []
+    for soup, mu_arr, lam_arr, efn in (
+        (spec.neo, params.neo_mu, params.neo_lam, en.neo_energy),
+        (spec.tact, params.tact_mu, params.tact_lam, en.tactile_energy),
+    ):
+        if soup.tets.shape[0]:
+            tet_parts.append(
+                (soup, mu_arr[soup.group], lam_arr[soup.group], efn,
+                 pos[soup.tets], p[soup.tets])
+            )
+
+    xc, dc = pos[contact.idx], p[contact.idx]
+    mC = contact.active.astype(pos.dtype)
+    SR = _S_REL.astype(pos.dtype)
+
+    def E_of(alpha):
+        e = en.inertia_external_energy(
+            pos - alpha * p, prev_pos, vel, spec.mass, spec.gravity,
+            spec.ext_force, spec.dt,
+        )
+        e = e + jnp.sum(
+            jax.vmap(en.membrane_energy)(xm - alpha * dm, c.l0, c.rest_area,
+                                         kl, ka)
+        )
+        eb = jax.vmap(en.bending_energy)(xb - alpha * db, sel, ref_angle,
+                                         c.hinge_coef, kb)
+        e = e + jnp.sum(eb * mb)
+        for soup, mu, lam, efn, xt, dt_ in tet_parts:
+            D = jnp.einsum("aj,tai->tij", S, xt - alpha * dt_)
+            e = e + jnp.sum(jax.vmap(efn)(D, soup.B, soup.W, mu, lam))
+        xc_ = xc - alpha * dc
+        R = jnp.einsum("ar,cai->cri", SR, xc_)
+        eC = jax.vmap(
+            lambda Rm: en.barrier_energy(Rm, spec.k_contact, spec.eps_contact)
+        )(R)
+        e = e + jnp.sum(eC * mC)
+        # friction: identical math to friction_eval's energy term (same
+        # tiny-guarded sqrt, which en.friction_energy's 1e-300 is not in f32)
+        xcen = jnp.einsum("ck,cki->ci", contact.w, xc_[:, :3])
+        dxf = xc_[:, 3] - xcen - contact.dx0
+        u = jnp.einsum("cti,ci->ct", contact.T, dxf)
+        r = jnp.sqrt(jnp.sum(u * u, axis=1) + jnp.finfo(u.dtype).tiny)
+        eF = contact.k * en.f0_smooth(r, spec.eps_v, spec.dt)
+        e = e + jnp.sum(eF * mC)
+        return e
+
+    return E_of
+
+
 def all_groups(spec, params, pos, ref_angle, contact, with_hess=True, spd=True):
     """Evaluate every element soup and fuse into ONE padded block group:
         idx: (E, 4) int32 (3-vertex elements padded with a ghost vertex NV)

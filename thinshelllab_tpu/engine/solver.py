@@ -112,6 +112,41 @@ def solve_cg(spec: SceneSpec, groups, F):
         spec, prepare_solver_state(spec, groups, F.dtype), F)
 
 
+def _fused_precond(spec: SceneSpec, st, D, Dinv, w, smooth, dtype):
+    """The damped block-Jacobi smoothing polynomial as ONE Pallas kernel
+    (ops/dia_spmv.dia_precond) instead of ~7 HLOs x `smooth` sweeps per CG
+    iteration. The kernel's cheap operator is A' = off-band DIA + D with the
+    FULL masked block diagonal D folded into the 0-offset lane; vs the XLA
+    polynomial this drops only the leftover pull rows' OFF-diagonal
+    couplings (their diagonal is inside D) -- a preconditioner-quality
+    approximation, still symmetric, so PCG stays valid.
+
+    Frozen DOFs decouple exactly: inside the kernel they stay zero (r and
+    A'z both row-masked), and the XLA recurrence there is the scalar fixed
+    point z_{k+1} = (1-w) z_k + w (dt^2/m) r, applied in closed form."""
+    from ..ops import dia_spmv as _spmv
+
+    plan = spec.dia
+    off0 = plan.offsets.index(0)
+    NV, NVp = spec.NV, plan.NVp
+    unf = jnp.asarray(~spec.frozen, dtype)  # (NV, 3) per-DOF
+    md = jnp.asarray(spec.mass)
+    dia_pre = st["dia"].at[off0, :, :, :NV].set(jnp.transpose(D, (1, 2, 0)))
+    dinv_l = jnp.zeros((3, 3, NVp), dtype).at[:, :, :NV].set(
+        jnp.transpose(Dinv, (1, 2, 0)))
+    unf2 = jnp.zeros((3, NVp), dtype).at[:, :NV].set(unf.T)
+    fro = 1.0 - unf
+    coef = (spec.dt**2 / md)[:, None] * (1.0 - (1.0 - w) ** (smooth + 1))
+
+    def precond(r):
+        r2 = jnp.zeros((3, NVp), dtype).at[:, :NV].set((r * unf).T)
+        z2 = _spmv.dia_precond(dia_pre, r2, unf2, dinv_l, plan.offsets,
+                               w, smooth)
+        return z2[:, :NV].T * unf + coef * r * fro
+
+    return precond
+
+
 def solve_cg_prepared(spec: SceneSpec, st, F, return_iters=False):
     """Block-Jacobi PCG on H p = F (H from element blocks, frozen-masked).
 
@@ -126,17 +161,20 @@ def solve_cg_prepared(spec: SceneSpec, st, F, return_iters=False):
 
     if smooth > 0:
         w = spec.precond_omega
-
-        def precond(r):
-            # damped block-Jacobi smoothing of the cheap operator: a fixed
-            # symmetric polynomial in D^-1 A_cheap, so still a valid PCG
-            # preconditioner, but far closer to H^-1 than one Jacobi sweep
-            z = w * jnp.einsum("nij,nj->ni", Dinv, r)
-            for _ in range(smooth):
-                z = z + w * jnp.einsum(
-                    "nij,nj->ni", Dinv, r - A_cheap(z)
-                )
-            return z
+        if spec.dia is not None and elements.use_pallas_spmv(spec, F.dtype):
+            precond = _fused_precond(spec, st, D, Dinv, w, smooth, F.dtype)
+        else:
+            def precond(r):
+                # damped block-Jacobi smoothing of the cheap operator: a
+                # fixed symmetric polynomial in D^-1 A_cheap, so still a
+                # valid PCG preconditioner, but far closer to H^-1 than one
+                # Jacobi sweep
+                z = w * jnp.einsum("nij,nj->ni", Dinv, r)
+                for _ in range(smooth):
+                    z = z + w * jnp.einsum(
+                        "nij,nj->ni", Dinv, r - A_cheap(z)
+                    )
+                return z
     else:
         def precond(r):
             return jnp.einsum("nij,nj->ni", Dinv, r)
@@ -522,13 +560,20 @@ def newton_solve(spec: SceneSpec, params, pos0, prev_pos, vel, ref_angle, contac
     start = jnp.where(jnp.asarray(spec.frozen), pos0, x_hat)
 
     def line_search(pos, p, E0):
+        # E(alpha) with all soup gathers hoisted out of the alpha loop --
+        # same values as energy(pos - alpha p), no gathers (and no layout
+        # flip) inside the while_loop. See elements.linesearch_energy_fn.
+        E_of = elements.linesearch_energy_fn(
+            spec, params, pos, p, prev_pos, vel, ref_angle, contact
+        )
+
         def ls_cond(c):
             alpha, success, _E = c
             return (~success) & (alpha > spec.linesearch_min_alpha)
 
         def ls_body(c):
             alpha, _, _ = c
-            E = energy(pos - alpha * p)
+            E = E_of(alpha)
             success = E < E0
             return jnp.where(success, alpha, alpha * 0.5), success, E
 
@@ -538,7 +583,7 @@ def newton_solve(spec: SceneSpec, params, pos0, prev_pos, vel, ref_angle, contac
         # on failure the reference leaves the last tried step applied
         applied = jnp.where(success, alpha, alpha * 2.0)
         new_pos = pos - applied * p
-        E_new = jax.lax.cond(success, lambda: E_ls, lambda: energy(new_pos))
+        E_new = jax.lax.cond(success, lambda: E_ls, lambda: E_of(applied))
         return new_pos, E_new
 
     refresh = max(1, spec.hess_refresh)
@@ -553,26 +598,38 @@ def newton_solve(spec: SceneSpec, params, pos0, prev_pos, vel, ref_angle, contac
                                          contact, with_hess=True, spd=True)
             return prepare_solver_state(spec, groups, pos.dtype)
 
+        # Outer loop over MACRO iterations: rebuild the operator
+        # unconditionally, then run `refresh` guarded Newton iterations on
+        # it. Same rebuild schedule (it = 0, refresh, 2*refresh, ...) and
+        # fixed point as the previous lax.cond formulation, but without the
+        # conditional: XLA conditionals copy their operands through the
+        # false branch, and pass-through of the ~30 MB operator state
+        # measured ~7 ms x 8/step at bench size (trace `conditional.28`).
         def cond2(carry):
-            pos, E, it, delta, _op = carry
+            pos, E, it, delta = carry
             return (it < spec.max_newton_iter) & (delta >= spec.newton_tol)
 
         def body2(carry):
-            pos, E0, it, _, op = carry
-            op = jax.lax.cond((it % refresh == 0) & (it > 0),
-                              op_of, lambda _: op, pos)
-            fg = elements.all_groups(spec, params, pos, ref_angle, contact,
-                                     with_hess=False, spd=False)
-            F = elements.assemble_residual(spec, fg, pos, prev_pos, vel)
-            p = solve_cg_prepared(spec, op, F)
-            delta = jnp.max(jnp.abs(p)) / spec.dt
-            new_pos, E_new = line_search(pos, p, E0)
-            return new_pos, E_new, it + 1, delta, op
+            pos, E0, it, delta = carry
+            op = op_of(pos)
+            for _ in range(refresh):
+                fg = elements.all_groups(spec, params, pos, ref_angle,
+                                         contact, with_hess=False, spd=False)
+                F = elements.assemble_residual(spec, fg, pos, prev_pos, vel)
+                p = solve_cg_prepared(spec, op, F)
+                d_new = jnp.max(jnp.abs(p)) / spec.dt
+                new_pos, E_new = line_search(pos, p, E0)
+                cont = (it < spec.max_newton_iter) & (delta >= spec.newton_tol)
+                pos = jnp.where(cont, new_pos, pos)
+                E0 = jnp.where(cont, E_new, E0)
+                delta = jnp.where(cont, d_new, delta)
+                it = it + cont.astype(it.dtype)
+            return pos, E0, it, delta
 
-        pos, _E, it, delta, _ = jax.lax.while_loop(
+        pos, _E, it, delta = jax.lax.while_loop(
             cond2, body2,
-            (start, energy(start), 0, jnp.asarray(1e5, pos0.dtype),
-             op_of(start)),
+            (start, energy(start), jnp.asarray(0, jnp.int32),
+             jnp.asarray(1e5, pos0.dtype)),
         )
         return pos
 

@@ -40,14 +40,14 @@ L = 128   # TPU lane width
 S0 = 8    # sublanes (rows of 128 DOFs) per grid step
 
 
-def _kernel(dia_ref, x_ref, y_ref, *, offsets, Qpad):
+def _spmv_acc(dia_ref, x_ref, base, offsets):
+    """The shared DIA multiply-accumulate: returns (acc0, acc1, acc2)
+    (S0, L) tiles of y = dia @ shifted(x) for the tile whose first DOF row
+    sits at sublane `base` of the (already shift-padded) x_ref."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    i = pl.program_id(0)
-    base = i * S0 + Qpad
     dt_ = x_ref.dtype
-
     lane = jax.lax.broadcasted_iota(jnp.int32, (S0, L), 1)
     acc0 = jnp.zeros((S0, L), dt_)
     acc1 = jnp.zeros((S0, L), dt_)
@@ -72,6 +72,14 @@ def _kernel(dia_ref, x_ref, y_ref, *, offsets, Qpad):
         acc0 = acc0 + d[0, 0] * sh[0] + d[0, 1] * sh[1] + d[0, 2] * sh[2]
         acc1 = acc1 + d[1, 0] * sh[0] + d[1, 1] * sh[1] + d[1, 2] * sh[2]
         acc2 = acc2 + d[2, 0] * sh[0] + d[2, 1] * sh[1] + d[2, 2] * sh[2]
+    return acc0, acc1, acc2
+
+
+def _kernel(dia_ref, x_ref, y_ref, *, offsets, Qpad):
+    from jax.experimental import pallas as pl
+
+    i = pl.program_id(0)
+    acc0, acc1, acc2 = _spmv_acc(dia_ref, x_ref, i * S0 + Qpad, offsets)
     y_ref[0] = acc0
     y_ref[1] = acc1
     y_ref[2] = acc2
@@ -141,3 +149,162 @@ def _call(dia5, xp, offsets, Qpad, n_off, Spad, NVp, grid, dtype, interpret):
         ),
         interpret=interpret,
     )(dia5, xp)
+
+
+# --------------------------------------------------------------------------
+# Fused smoothed-block-Jacobi preconditioner
+# --------------------------------------------------------------------------
+#
+# The CG preconditioner z = M^-1 r is the damped-Jacobi smoothing polynomial
+#   z_0 = w D^-1 r;   z_{k+1} = z_k + w D^-1 (r - A' z_k)
+# with A' the cheap in-band operator. As XLA ops this is ~7 HLOs per sweep
+# (spmv + masks + 3x3 block einsums) x `smooth` sweeps per CG iteration --
+# the step is dispatch-latency bound, so op count is the currency. This
+# kernel runs the WHOLE polynomial as one pallas_call: grid (sweeps+1,
+# tiles), z ping-ponged between two VMEM scratch buffers (a sweep must
+# complete before the next reads shifted windows of it; TPU grids execute
+# sequentially, last dim innermost, so sweep s finishes all tiles first).
+#
+# A' here is DIA(off != 0) + D on the 0-offset lane: the caller folds the
+# FULL block diagonal D (inertia + contact + leftover diagonals included)
+# into offset 0 of `dia_pre`. The leftover pull rows (irregular tactile/ball
+# couplings, ~276 of 5605 rows at bench size) keep only their DIAGONAL in
+# the smoother -- a preconditioner-quality approximation, still symmetric
+# (A' and D^-1 both symmetric), so PCG stays valid.
+#
+# Frozen-DOF masking: inputs r with frozen rows zeroed keep z zero on frozen
+# rows by induction (row-mask unf applied to A' z), identical to the XLA
+# path's invariant.
+
+
+def _precond_kernel(dia_ref, r_ref, unf_ref, dinv_ref, y_ref, za, zb, *,
+                    offsets, Qpad, w, sweeps, ntiles):
+    from jax.experimental import pallas as pl
+
+    s = pl.program_id(0)
+    i = pl.program_id(1)
+    dt_ = r_ref.dtype
+
+    @pl.when((s == 0) & (i == 0))
+    def _zero_pads():
+        pad = jnp.zeros((3, Qpad, L), dt_)
+        za[:, :Qpad, :] = pad
+        za[:, Qpad + ntiles * S0 :, :] = pad
+        zb[:, :Qpad, :] = pad
+        zb[:, Qpad + ntiles * S0 :, :] = pad
+
+    r_t = r_ref[:, pl.ds(i * S0, S0), :]          # (3, S0, L)
+    dv = dinv_ref[:, :, pl.ds(i * S0, S0), :]     # (3, 3, S0, L)
+
+    def dinv_mul(s0, s1, s2):
+        return (
+            dv[0, 0] * s0 + dv[0, 1] * s1 + dv[0, 2] * s2,
+            dv[1, 0] * s0 + dv[1, 1] * s1 + dv[1, 2] * s2,
+            dv[2, 0] * s0 + dv[2, 1] * s1 + dv[2, 2] * s2,
+        )
+
+    def write(z_write, v0, v1, v2):
+        z_write[0, pl.ds(i * S0 + Qpad, S0), :] = v0
+        z_write[1, pl.ds(i * S0 + Qpad, S0), :] = v1
+        z_write[2, pl.ds(i * S0 + Qpad, S0), :] = v2
+        y_ref[0] = v0
+        y_ref[1] = v1
+        y_ref[2] = v2
+
+    @pl.when(s == 0)
+    def _sweep0():
+        z0, z1, z2 = dinv_mul(r_t[0], r_t[1], r_t[2])
+        write(za, w * z0, w * z1, w * z2)
+
+    def sweep(z_read, z_write):
+        a0, a1, a2 = _spmv_acc(dia_ref, z_read, i * S0 + Qpad, offsets)
+        u = unf_ref[:, pl.ds(i * S0, S0), :]
+        d0, d1, d2 = dinv_mul(r_t[0] - u[0] * a0, r_t[1] - u[1] * a1,
+                              r_t[2] - u[2] * a2)
+        zt = z_read[:, pl.ds(i * S0 + Qpad, S0), :]
+        write(z_write, zt[0] + w * d0, zt[1] + w * d1, zt[2] + w * d2)
+
+    # ping-pong by sweep parity (sweep 0 wrote za)
+    for k in range(1, sweeps + 1):
+        src, dst = (za, zb) if k % 2 == 1 else (zb, za)
+
+        @pl.when(s == k)
+        def _(src=src, dst=dst):
+            sweep(src, dst)
+
+
+@partial(jax.jit, static_argnames=("offsets", "w", "sweeps", "interpret"))
+def dia_precond(dia_pre, r2, unf2, dinv, offsets, w, sweeps,
+                interpret=False):
+    """z = smoothed-block-Jacobi preconditioner applied to r, as ONE kernel.
+
+    dia_pre: (n_off, 3, 3, NVp) with the FULL block diagonal D folded into
+             the 0-offset lane (A' = off-band DIA + D).
+    r2:   (3, NVp) residual, frozen rows + padding zeroed.
+    unf2: (3, NVp) unfrozen row mask.
+    dinv: (3, 3, NVp) per-row 3x3 inverse of D (zero past NV).
+    Returns (3, NVp) = the polynomial z after `sweeps` damped sweeps."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n_off = dia_pre.shape[0]
+    NVp = dia_pre.shape[-1]
+    Spad = NVp // L
+    assert Spad % S0 == 0 and len(offsets) == n_off
+    Qpad = qpad_for(offsets)
+    ntiles = Spad // S0
+    dt_ = r2.dtype
+
+    dia5 = dia_pre.reshape(n_off, 3, 3, Spad, L)
+    rp = r2.reshape(3, Spad, L)
+    up = unf2.reshape(3, Spad, L)
+    dvp = dinv.reshape(3, 3, Spad, L)
+
+    kern = partial(
+        _precond_kernel,
+        offsets=tuple(int(o) for o in offsets),
+        Qpad=Qpad,
+        w=float(w),
+        sweeps=int(sweeps),
+        ntiles=ntiles,
+    )
+
+    def call():
+        return pl.pallas_call(
+            kern,
+            grid=(sweeps + 1, ntiles),
+            in_specs=[
+                # sweep 0 never reads dia: park the fetcher on block 0 so the
+                # first sweep streams the store only once
+                pl.BlockSpec(
+                    (n_off, 3, 3, S0, L),
+                    lambda s, i: (0, 0, 0, jnp.where(s == 0, 0, i), 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # r resident
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # unf resident
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # dinv resident
+            ],
+            out_specs=pl.BlockSpec((3, S0, L), lambda s, i: (0, i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((3, Spad, L), dt_),
+            scratch_shapes=[
+                pltpu.VMEM((3, Spad + 2 * Qpad, L), dt_),
+                pltpu.VMEM((3, Spad + 2 * Qpad, L), dt_),
+            ],
+            cost_estimate=pl.CostEstimate(
+                flops=2 * 9 * n_off * NVp * sweeps + 2 * 9 * NVp * (sweeps + 1),
+                bytes_accessed=(9 * n_off * NVp * sweeps + 24 * NVp)
+                * jnp.dtype(dt_).itemsize,
+                transcendentals=0,
+            ),
+            interpret=interpret,
+        )(dia5, rp, up, dvp)
+
+    if dt_ == jnp.float32:
+        # same Mosaic i64 legalization workaround as dia_spmv above
+        with jax.enable_x64(False):
+            y = call()
+    else:
+        y = call()
+    return y.reshape(3, NVp)
