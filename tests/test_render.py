@@ -56,6 +56,39 @@ def test_luisa_export(scene, tmp_path):
                for fn in files)
 
 
+def test_bundled_asset_pack_resolves(scene, tmp_path):
+    """The bundled procedural asset pack (render/gen_assets.py) makes the
+    image-texture presets and environment maps resolve locally: cloth/wood
+    presets become file textures and the Luisa export references existing
+    image files (reference render_engine.get_asset_* lookups, which need
+    an external AssetLoader directory the reference does not ship)."""
+    from thinshelllab_tpu.render import textures
+
+    d = textures.default_asset_dir()
+    assert d is not None
+    pre = textures.cloth_presets(d)
+    assert pre["cloth_1"].kd.file and os.path.exists(pre["cloth_1"].kd.file)
+    assert textures.table_presets(d)["wood_table_1"].kd.file
+    env = textures.envmap_path(d, "indoor_2")
+    assert env and os.path.exists(env)
+    assert textures.envmap_path(d, "no_such_env") is None
+
+    r = Renderer(scene, "folding", option="LuisaScript", save_dir=str(tmp_path))
+    path = r.render("0", pos=np.asarray(scene.state0.pos))
+    text = open(path).read()
+    # every image file referenced by the export exists on disk
+    import re
+
+    refs = re.findall(r'file \{ "([^"]+)" \}', text)
+    # inputs only: camera film targets (frame_*.exr) are render OUTPUTS
+    img_refs = [p for p in refs if p.endswith((".png", ".exr"))
+                and not os.path.basename(p).startswith("frame_")]
+    assert img_refs, "export references no image textures"
+    for p in img_refs:
+        q = p if os.path.isabs(p) else os.path.join(str(tmp_path), p)
+        assert os.path.exists(q), p
+
+
 def test_crease_mix_texture():
     """get_mix_texture paints red (down) / blue (up) crease bands, fills the
     whole image, and the Texture mix node emits the reference grammar

@@ -106,15 +106,21 @@ class Renderer:
             luisa.AreaLight(position=(0.0, 0.0, 0.5), size=0.3,
                             emission=(20.0, 20.0, 20.0))
         )
-        env_cfg = self.settings.get("environment", {})
-        s.environment = luisa.Environment(
-            constant=(0.8, 0.8, 0.8), rotation=env_cfg.get("rotation", 0.0)
-        )
-        # asset-pack image textures activate when the (externally
-        # downloaded) AssetLoader directory is available, matching the
-        # reference's render_engine.get_asset_* lookups
+        # asset-pack image textures activate when an AssetLoader-style
+        # directory is available, matching the reference's
+        # render_engine.get_asset_* lookups; the bundled procedural
+        # stand-in pack (render/gen_assets.py) is the default
         asset_dir = self.settings.get(
-            "asset_dir", os.environ.get("THINSHELL_ASSET_DIR"))
+            "asset_dir", os.environ.get("THINSHELL_ASSET_DIR")
+        ) or textures.default_asset_dir()
+        env_cfg = self.settings.get("environment", {})
+        if isinstance(env_cfg, str):  # e.g. "indoor_2" shorthand
+            env_cfg = {"type": env_cfg}
+        env_file = textures.envmap_path(asset_dir, env_cfg.get("type"))
+        s.environment = luisa.Environment(
+            file=env_file, constant=(0.8, 0.8, 0.8),
+            rotation=env_cfg.get("rotation", 0.0)
+        )
         presets = dict(_SURFACE_PRESETS)
         presets.update(textures.cloth_presets(asset_dir))
         presets.update(textures.elastic_presets(asset_dir))

@@ -102,6 +102,30 @@ def crease_mix_texture(scene, cloth_body: int, base: Texture,
                    mix_factor=1.0, mix_method="multiply")
 
 
+def default_asset_dir() -> Optional[str]:
+    """The bundled procedural stand-in pack (render/gen_assets.py), used
+    when no external AssetLoader directory is configured."""
+    from ..io.tetfile import data_path
+
+    d = data_path("assets")
+    return d if os.path.isdir(d) else None
+
+
+def envmap_path(asset_dir: Optional[str], name: str) -> Optional[str]:
+    """Resolve an environment-map preset name (e.g. 'indoor_2' from
+    scene_texture_options.json) to an image file, reference
+    render_engine.py:103-111 get_asset_env; None -> constant fallback."""
+    if not name or not asset_dir:
+        return None
+    for rel in (os.path.join("envmaps", f"{name}.png"),
+                os.path.join("envmaps", f"{name}.exr"),
+                f"{name}.png", f"{name}.exr"):
+        p = os.path.join(asset_dir, rel)
+        if os.path.exists(p):
+            return p
+    return None
+
+
 def _image_or_color(asset_dir: Optional[str], rel: str, color) -> Texture:
     """Image texture when the external asset pack is present, else the
     constant fallback (the reference's AssetLoader directory is not shipped
