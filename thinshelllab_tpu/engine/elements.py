@@ -489,15 +489,25 @@ def assemble_residual(spec, fused, pos, prev_pos, vel):
                                   indexing="ij")
             par_np = ((ii + jj) % 2).astype(bool)
             acc = jnp.zeros((3, N + 1, M + 1), F.dtype)
+            # same destination-grouping as assemble_dia: one DUS per
+            # distinct destination region, sources summed first
+            dests = {}
             for (kind, cc, a, i0, i1, j0, j1, di, dj, par) in res_fams:
-                gg = gf if kind == 0 else gh
-                pm = jnp.asarray(
-                    (par_np[i0:i1, j0:j1] == bool(par)).astype(_np.float32),
-                    F.dtype,
-                )
-                acc = acc.at[:, i0 + di : i1 + di, j0 + dj : j1 + dj].add(
-                    gg[cc, a, :, i0:i1, j0:j1] * pm[None]
-                )
+                key = (i0 + di, i1 + di, j0 + dj, j1 + dj)
+                dests.setdefault(key, []).append(
+                    (kind, cc, a, i0, i1, j0, j1, par))
+            for (I0, I1, J0, J1), srcs in dests.items():
+                tot = None
+                for (kind, cc, a, i0, i1, j0, j1, par) in srcs:
+                    gg = gf if kind == 0 else gh
+                    pm = jnp.asarray(
+                        (par_np[i0:i1, j0:j1] == bool(par)).astype(
+                            _np.float32),
+                        F.dtype,
+                    )
+                    term = gg[cc, a, :, i0:i1, j0:j1] * pm[None]
+                    tot = term if tot is None else tot + term
+                acc = acc.at[:, I0:I1, J0:J1].add(tot)
             Fp = Fp.at[v_off : v_off + (N + 1) * (M + 1)].add(
                 acc.reshape(3, -1).T
             )
@@ -1051,16 +1061,27 @@ def assemble_dia(spec, fused, dtype):
         ii, jj = _np.meshgrid(_np.arange(N), _np.arange(M), indexing="ij")
         par_np = ((ii + jj) % 2).astype(bool)
         acc = jnp.zeros((n_off, 3, 3, N + 1, M + 1), dtype)
+        # group families by DESTINATION slice (o-lane + region): sources
+        # sharing a destination are summed first, so the accumulator sees
+        # ONE dynamic-update-slice per distinct destination (~4x fewer
+        # multi-MB DUS ops in the HLO; the adds fuse elementwise)
+        dests = {}
         for (kind, cc, a, b, o, i0, i1, j0, j1, di, dj, par) in fams:
-            Hg = Hf if kind == 0 else Hh
-            src = Hg[cc, a, b, :, :, i0:i1, j0:j1]
-            pm = jnp.asarray(
-                (par_np[i0:i1, j0:j1] == bool(par)).astype(_np.float32),
-                dtype,
-            )
-            acc = acc.at[
-                o, :, :, i0 + di : i1 + di, j0 + dj : j1 + dj
-            ].add(src * pm[None, None])
+            key = (o, i0 + di, i1 + di, j0 + dj, j1 + dj)
+            dests.setdefault(key, []).append(
+                (kind, cc, a, b, i0, i1, j0, j1, par))
+        for (o, I0, I1, J0, J1), srcs in dests.items():
+            tot = None
+            for (kind, cc, a, b, i0, i1, j0, j1, par) in srcs:
+                Hg = Hf if kind == 0 else Hh
+                src = Hg[cc, a, b, :, :, i0:i1, j0:j1]
+                pm = jnp.asarray(
+                    (par_np[i0:i1, j0:j1] == bool(par)).astype(_np.float32),
+                    dtype,
+                )
+                term = src * pm[None, None]
+                tot = term if tot is None else tot + term
+            acc = acc.at[o, :, :, I0:I1, J0:J1].add(tot)
         dia = dia.at[:, :, :, v_off : v_off + (N + 1) * (M + 1)].add(
             acc.reshape(n_off, 3, 3, -1)
         )
