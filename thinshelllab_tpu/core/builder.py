@@ -74,6 +74,7 @@ class SceneBuilder:
         grid_h=3e-3,
         contact_top_k=32,
         hess_refresh=1,
+        spmv="auto",
     ):
         self.cfg = dict(
             dt=dt,
@@ -88,6 +89,7 @@ class SceneBuilder:
             plastic=plastic,
             dtype=dtype,
             hess_refresh=hess_refresh,
+            spmv=spmv,
         )
         self.gravity = np.asarray(gravity, np.float64)
         self.contact_top_k = contact_top_k
@@ -323,6 +325,7 @@ class SceneBuilder:
             # iterations on the 10k-tri bench (see BASELINE.md)
             precond_smooth=3 if self.cfg["solver"] == "cg" else 0,
             hess_refresh=self.cfg["hess_refresh"],
+            spmv=self.cfg["spmv"],
             dtype=d,
         )
 

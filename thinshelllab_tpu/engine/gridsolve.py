@@ -216,10 +216,18 @@ def extract_cloth_tridiag(spec, gp_entry, dia, Dc=None):
     return D, U
 
 
-def factor_tridiag(D, U):
+def factor_tridiag(D, U, cutoff=4):
     """Cyclic-reduction factorization of the block tridiagonal (D_k, U_k).
     Returns the level stack + root inverse for solve_tridiag. Odd level
     sizes are padded with an identity block (decoupled).
+
+    Reduction stops once <= `cutoff` blocks remain; the reduced system is
+    inverted DENSELY (one (n_root*m)^2 inverse at factor time, one matvec
+    per apply). The deepest levels are tiny-k einsum chains that cost
+    dispatch latency, not FLOPs -- the apply inside the adjoint GMRES is a
+    sequential per-iteration chain, so swapping ~2 levels (6 ops fwd + 6
+    bwd) for one matvec shortens the critical path at negligible extra
+    bytes (n_root*m ~ 1.7k rows at bench size).
 
     SPD caveat: the extracted cloth tridiagonal is the restriction of a PSD
     (inertia-augmented) operator, and restriction does NOT guarantee
@@ -240,9 +248,10 @@ def factor_tridiag(D, U):
     def _safe_inv(A):
         scale = jnp.max(jnp.abs(A), axis=(-2, -1), keepdims=True)
         shift = eps * jnp.maximum(scale, jnp.finfo(dt_).tiny)
-        return jnp.linalg.inv(A + shift * jnp.eye(m, dtype=dt_))
+        k = A.shape[-1]
+        return jnp.linalg.inv(A + shift * jnp.eye(k, dtype=dt_))
 
-    while n > 1:
+    while n > cutoff:
         padded = n % 2 == 1
         if padded:
             D = jnp.concatenate(
@@ -263,7 +272,15 @@ def factor_tridiag(D, U):
         Unew = -jnp.einsum("kab,kbc->kac", G1, U_odd)
         levels.append((Dodd_inv, G1, G2, U_even, U_odd, padded))
         D, U, n = Dnew, Unew, n2
-    root_inv = _safe_inv(D[0:1])[0]
+    # dense root: assemble the remaining n-block tridiagonal and invert once
+    B = jnp.zeros((n, n, m, m), dt_)
+    ar = jnp.arange(n)
+    B = B.at[ar, ar].set(D)
+    if n > 1:
+        B = B.at[ar[:-1], ar[1:]].set(U[:-1])
+        B = B.at[ar[1:], ar[:-1]].set(jnp.swapaxes(U[:-1], -1, -2))
+    T = B.transpose(0, 2, 1, 3).reshape(n * m, n * m)
+    root_inv = _safe_inv(T)
     return levels, root_inv
 
 
@@ -281,7 +298,9 @@ def solve_tridiag(fac, b):
         )
         stack.append(b_odd)
         b = b_new
-    x = jnp.einsum("ab,b->a", root_inv, b[0])[None]  # (1, m)
+    m = b.shape[1]
+    n_root = root_inv.shape[0] // m
+    x = (root_inv @ b[:n_root].reshape(-1)).reshape(n_root, m)
     for (Dodd_inv, G1, G2, U_even, U_odd, padded) in reversed(levels):
         b_odd = stack.pop()
         # x_odd[t] = Dinv_{2t+1} (b_odd[t] - U_{2t}^T x_{2t}

@@ -612,7 +612,14 @@ def newton_solve(spec: SceneSpec, params, pos0, prev_pos, vel, ref_angle, contac
         def body2(carry):
             pos, E0, it, delta = carry
             op = op_of(pos)
-            for _ in range(refresh):
+
+            # fori_loop (not a Python unroll) over the guarded micro
+            # iterations: ONE copy of the residual+solve+line-search graph
+            # in the HLO regardless of `refresh` (the unrolled form nearly
+            # doubled whole-program compile time at refresh=2); `op` rides
+            # along as a loop-invariant carry (aliased, not copied)
+            def micro(_, c):
+                pos, E0, it, delta = c
                 fg = elements.all_groups(spec, params, pos, ref_angle,
                                          contact, with_hess=False, spd=False)
                 F = elements.assemble_residual(spec, fg, pos, prev_pos, vel)
@@ -624,7 +631,10 @@ def newton_solve(spec: SceneSpec, params, pos0, prev_pos, vel, ref_angle, contac
                 E0 = jnp.where(cont, E_new, E0)
                 delta = jnp.where(cont, d_new, delta)
                 it = it + cont.astype(it.dtype)
-            return pos, E0, it, delta
+                return pos, E0, it, delta
+
+            return jax.lax.fori_loop(0, refresh, micro, (pos, E0, it, delta),
+                                     unroll=False)
 
         pos, _E, it, delta = jax.lax.while_loop(
             cond2, body2,

@@ -14,7 +14,7 @@ from . import base, cloth_init
 
 def make(cloth_N=70, dtype=jnp.float32, solver="cg", max_newton_iter=8,
          table_n=12, cg_max_iter=200, cg_tol=1e-6,
-         hess_refresh=1) -> base.TaskScene:
+         hess_refresh=1, spmv="auto") -> base.TaskScene:
     N = M = cloth_N
     size = 0.1
     dx = size / N
@@ -25,6 +25,7 @@ def make(cloth_N=70, dtype=jnp.float32, solver="cg", max_newton_iter=8,
         eps_v=1e-2,
         damping=1.0,
         max_newton_iter=max_newton_iter,
+        spmv=spmv,
         gravity=(0.0, 0.0, -9.8),
         plastic=False,
         solver=solver,
