@@ -583,8 +583,12 @@ def newton_solve(spec: SceneSpec, params, pos0, prev_pos, vel, ref_angle, contac
         # on failure the reference leaves the last tried step applied
         applied = jnp.where(success, alpha, alpha * 2.0)
         new_pos = pos - applied * p
-        E_new = jax.lax.cond(success, lambda: E_ls, lambda: E_of(applied))
-        return new_pos, E_new
+        # E_ls IS E(applied) on both exits: success leaves (alpha, E(alpha))
+        # in the carry; failure halves alpha AFTER computing E, so the
+        # carried E belongs to alpha*2 = applied. (The loop always runs
+        # >= 1 iteration since linesearch_min_alpha < 1.) No second
+        # energy-graph copy in a cond branch.
+        return new_pos, E_ls
 
     refresh = max(1, spec.hess_refresh)
     if refresh > 1 and spec.solver != "dense":
