@@ -64,9 +64,61 @@ def main():
         compiled = run.lower(actions).compile()
         return sc, spec, run, compiled, time.time() - t0
 
+    def pallas_parity_ok():
+        """Guard the headline number against a silent Mosaic MISCOMPILE
+        (wrong values, not a compile error -- the try/except below only
+        catches the latter): solve one small CG system on the Pallas-kernel
+        path and check the solution's residual against the independently
+        formulated XLA operator. A miscompiled SpMV or preconditioner
+        either diverges CG or converges it to the wrong point; both leave
+        a large true residual. Costs one small-scene compile (~seconds
+        next to the main program's minutes)."""
+        from thinshelllab_tpu.engine import elements, solver
+
+        try:
+            sc_p = bench_scene.make(cloth_N=12, table_n=4,
+                                    dtype=jnp.float32, solver="cg",
+                                    spmv="pallas")
+            sc_x = bench_scene.make(cloth_N=12, table_n=4,
+                                    dtype=jnp.float32, solver="cg",
+                                    spmv="xla")
+            spec_p, spec_x = sc_p.spec, sc_x.spec
+            st0 = sc_x.state0
+            pos = jnp.asarray(st0.pos)
+            contact, _, _ = stepper.build_contacts(
+                spec_x, sc_x.params, pos, pos,
+                jnp.asarray(st0.proj_flag), jnp.asarray(st0.proj_dir))
+
+            def check(p):
+                groups = elements.all_groups(
+                    spec_x, sc_x.params, p, jnp.asarray(st0.ref_angle),
+                    contact, with_hess=True, spd=True)
+                F = elements.assemble_residual(spec_x, groups, p, p,
+                                               jnp.zeros_like(p))
+                xp = solver.solve_cg(spec_p, groups, F)
+                stx = solver.prepare_solver_state(spec_x, groups, F.dtype)
+                A, _ = solver._ops_from_state(spec_x, stx)
+                r = F - A(xp)
+                return (jnp.linalg.norm(r)
+                        / jnp.maximum(jnp.linalg.norm(F), 1e-30))
+            rel = float(jax.jit(check)(pos))
+            ok = np.isfinite(rel) and rel < 1e-3
+            if not ok:
+                print(f"# WARNING: Pallas/XLA parity gate failed "
+                      f"(rel residual {rel:.2e})", file=sys.stderr)
+            return ok
+        except Exception as e:  # pragma: no cover - exercised on faults
+            print(f"# WARNING: Pallas parity gate errored "
+                  f"({type(e).__name__}: {str(e)[:200]})", file=sys.stderr)
+            return False
+
     # resilience: a Mosaic/Pallas compile failure on the custom-kernel path
     # must degrade to the XLA formulation, not kill the benchmark
     spmv_mode = os.environ.get("BENCH_SPMV", "auto")
+    if (spmv_mode == "auto" and jax.default_backend() == "tpu"
+            and not pallas_parity_ok()):
+        print("# WARNING: falling back to spmv='xla'", file=sys.stderr)
+        spmv_mode = "xla"
     try:
         sc, spec, run, compiled, compile_s = build_and_compile(spmv_mode)
     except Exception as e:  # pragma: no cover - exercised on kernel faults

@@ -68,6 +68,23 @@ def test_param_opt_bouncing():
     assert info["param"] > 0
 
 
+def test_param_cmaes_bouncing():
+    # gradient-free system ID (reference run_cmaes_parameter.py), the CLI's
+    # `dp --method cmaes` path
+    from thinshelllab_tpu.train.dp import ParamCMAESDriver, _get_param
+
+    sc = bouncing.make(max_newton_iter=4)
+    T = 2
+    actions = (jnp.zeros((T, 0, 3)), jnp.zeros((T, 0, 3)), jnp.zeros((T, 0)))
+    base = float(_get_param(jax.tree.map(jnp.asarray, sc.params),
+                            sc.sys_param))
+    drv = ParamCMAESDriver(sc, actions, base_value=base, scale=10.0,
+                           pop_size=4, sigma=1.0, seed=0)
+    info = drv.generation()
+    assert np.isfinite(info["best_reward"])
+    assert info["best_param"] > 0
+
+
 def test_rl_env(scene):
     env = Env(scene=scene, time_step=3)
     obs, _ = env.reset()

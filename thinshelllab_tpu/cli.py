@@ -151,7 +151,7 @@ def cmd_cmaes(args):
 def cmd_dp(args):
     import jax.numpy as jnp
 
-    from .train.dp import ParamOptDriver
+    from .train.dp import ParamCMAESDriver, ParamOptDriver, _get_param
 
     scene = _make_scene(args)
     T = args.tot_step
@@ -165,6 +165,20 @@ def cmd_dp(args):
     else:
         actions = (jnp.zeros((T - 1, n, 3)), jnp.zeros((T - 1, n, 3)),
                    jnp.zeros((T - 1, n)))
+    if args.method == "cmaes":
+        # gradient-free system ID (reference run_cmaes_parameter.py)
+        import jax
+
+        base = float(_get_param(jax.tree.map(jnp.asarray, scene.params),
+                                scene.sys_param))
+        drv = ParamCMAESDriver(scene, actions, base_value=base,
+                               scale=args.cmaes_scale,
+                               pop_size=args.pop_size, sigma=args.sigma)
+        for i in range(args.iter):
+            info = drv.generation()
+            print(f"gen {i}: best_param {info['best_param']:.4f} "
+                  f"best_reward {info['best_reward']:.5f}", flush=True)
+        return
     drv = ParamOptDriver(scene, actions, lr=args.lr)
     for i in range(args.iter):
         info = drv.iteration()
@@ -326,6 +340,14 @@ def main(argv=None):
     p.add_argument("--iter", type=int, default=10)
     p.add_argument("--lr", type=float, default=1.0)
     p.add_argument("--load_traj", type=str, default=None)
+    p.add_argument("--method", type=str, default="grad",
+                   choices=["grad", "cmaes"],
+                   help="'grad': adjoint descent; 'cmaes': gradient-free "
+                        "(reference run_cmaes_parameter.py)")
+    p.add_argument("--pop_size", type=int, default=8)
+    p.add_argument("--sigma", type=float, default=1.0)
+    p.add_argument("--cmaes_scale", type=float, default=1.0,
+                   help="parameter = base + sample * scale")
     p.set_defaults(fn=cmd_dp)
 
     p = sub.add_parser("rl")
