@@ -201,6 +201,8 @@ def backward(
     skip_steps: int = 0,
     friction_loss: bool = False,
     f_loss_ratio: float = 0.001,
+    warm_start: bool = False,
+    debug_iters: bool = False,
 ) -> AdjointResult:
     """Run the backward sweep over a simulated trajectory.
 
@@ -208,6 +210,16 @@ def backward(
     seeds; seed_ar_grad: (T, NH) dL/dref_t seeds. skip_steps stops the sweep
     early (reference trajopt_interact skips the first 5 frames).
     Returns gripper_grad (T, n_part, 6) and accumulated Params cotangent.
+
+    warm_start: seed each step's iterative adjoint solve with the previous
+    (t+1) step's solution, optimally scaled (solver._warm_split), without
+    changing what the solve converges to (no-op on the dense path). Default
+    OFF: measured at bench size (scripts/ab_warmstart.py) successive adjoint
+    solutions are uncorrelated (92 vs 93 GMRES iters) and the extra A-apply
+    makes the warm path slightly slower. The forward Newton CG warm start
+    (solver.newton_solve) is where the win is (-20% CG iterations).
+    debug_iters: also return per-step adjoint-solve iteration counts in
+    place of pos_grad0 (diagnostic).
     """
     T = seed_pos_grad.shape[0]
     NV = spec.NV
@@ -221,7 +233,7 @@ def backward(
     zero_params = jax.tree.map(jnp.zeros_like, params)
 
     def step_fn(carry, t):
-        g1, g2, ar1, proj_flag, proj_dir, pgrad = carry
+        g1, g2, ar1, proj_flag, proj_dir, pgrad, z_prev = carry
         pos_t = buffers["pos"][t]
         pos_tm1 = buffers["pos"][t - 1]
         # Reference parity: copy_pos_and_refangle(self, step) loads
@@ -255,8 +267,11 @@ def backward(
         # true Hessian at pos_t, solve H z = pg_t
         groups = elements.all_groups(spec, params, pos_t, ref_t, contact,
                                      with_hess=True, spd=False)
-        # the true Hessian can be indefinite: MINRES on the iterative path
-        z = solver.solve_adjoint(spec, groups, pg_t)
+        # the true Hessian can be indefinite: GMRES/MINRES on the iterative
+        # path, warm-started from the previous step's solution
+        z, it = solver.solve_adjoint(
+            spec, groups, pg_t,
+            x0=z_prev if warm_start else None, return_iters=True)
 
         tmp_z_frozen = elements.frozen_column_product(spec, groups, z)
         x_hat_grad = z * (spec.mass / spec.dt**2)[:, None] * unfrozen
@@ -285,7 +300,8 @@ def backward(
         g2_out = -damping_grad * x_hat_grad
         active = t > skip_steps
         gg = jnp.where(active, gg, 0.0)
-        return (g1_out, g2_out, ar_next, proj_flag, proj_dir, pgrad), gg
+        return (g1_out, g2_out, ar_next, proj_flag, proj_dir, pgrad,
+                z), (gg, it)
 
     init = (
         jnp.zeros((NV, 3), d),
@@ -294,12 +310,14 @@ def backward(
         buffers["final_proj_flag"],
         buffers["final_proj_dir"],
         zero_params,
+        jnp.zeros((NV, 3), d),
     )
     ts = jnp.arange(T - 1, 0, -1)
-    (g1, g2, ar1, _, _, pgrad), ggs = jax.lax.scan(step_fn, init, ts)
+    (g1, g2, ar1, _, _, pgrad, _z), (ggs, iters) = jax.lax.scan(
+        step_fn, init, ts)
 
     gripper_grad = jnp.zeros((T, n_part, 6), d)
     if spec.gripper.n_part > 0:
         gripper_grad = gripper_grad.at[ts].set(ggs)
     return AdjointResult(gripper_grad=gripper_grad, param_grad=pgrad,
-                         pos_grad0=g1)
+                         pos_grad0=iters if debug_iters else g1)

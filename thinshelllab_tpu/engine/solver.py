@@ -107,9 +107,9 @@ def _ops_from_state(spec: SceneSpec, st):
     return A, None
 
 
-def solve_cg(spec: SceneSpec, groups, F):
+def solve_cg(spec: SceneSpec, groups, F, x0=None):
     return solve_cg_prepared(
-        spec, prepare_solver_state(spec, groups, F.dtype), F)
+        spec, prepare_solver_state(spec, groups, F.dtype), F, x0=x0)
 
 
 def _fused_precond(spec: SceneSpec, st, D, Dinv, w, smooth, dtype):
@@ -147,12 +147,16 @@ def _fused_precond(spec: SceneSpec, st, D, Dinv, w, smooth, dtype):
     return precond
 
 
-def solve_cg_prepared(spec: SceneSpec, st, F, return_iters=False):
+def solve_cg_prepared(spec: SceneSpec, st, F, return_iters=False, x0=None):
     """Block-Jacobi PCG on H p = F (H from element blocks, frozen-masked).
 
     When the spec carries static HvpSlots, the static element blocks are
     gathered once into a pull layout so each CG iteration is gather+einsum
-    (no scatter) plus a small dynamic contact scatter."""
+    (no scatter) plus a small dynamic contact scatter.
+
+    x0: optional warm start, applied as an optimally scaled base +
+    correction solve (_warm_split); the stopping tolerance stays relative
+    to the ORIGINAL |F| so the converged point matches the cold start."""
     A, A_cheap = _ops_from_state(spec, st)
     D = st["D"]
     smooth = spec.precond_smooth if A_cheap is not None else 0
@@ -179,11 +183,14 @@ def solve_cg_prepared(spec: SceneSpec, st, F, return_iters=False):
         def precond(r):
             return jnp.einsum("nij,nj->ni", Dinv, r)
 
-    b = F
-    bnorm = jnp.linalg.norm(b)
+    bnorm = jnp.linalg.norm(F)
     tol2 = (spec.cg_tol * bnorm) ** 2 + 1e-300
+    if x0 is not None:
+        base, b = _warm_split(A, F, x0)
+    else:
+        base, b = None, F
 
-    x0 = jnp.zeros_like(b)
+    x_init = jnp.zeros_like(b)
     r0 = b
     z0 = precond(r0)
     p0 = z0
@@ -212,7 +219,10 @@ def solve_cg_prepared(spec: SceneSpec, st, F, return_iters=False):
         p = z + beta * p
         return x, r, z, p, rz_new, it + 1
 
-    x, r, z, p, rz, it = jax.lax.while_loop(cond, body, (x0, r0, z0, p0, rz0, 0))
+    x, r, z, p, rz, it = jax.lax.while_loop(
+        cond, body, (x_init, r0, z0, p0, rz0, 0))
+    if base is not None:
+        x = base + x
     if return_iters:
         return x, it
     return x
@@ -232,7 +242,20 @@ def _abs_element_blocks(H):
     return H12.reshape(E, 4, 3, 4, 3).transpose(0, 1, 3, 2, 4)
 
 
-def solve_minres(spec: SceneSpec, groups, F, return_iters=False):
+def _warm_split(A, F, x0):
+    """Optimally scaled warm start: alpha = argmin |F - a A x0|. Returns
+    (base, b_eff) with base = alpha x0 and b_eff = F - A base, so the
+    caller solves for the correction. |b_eff| <= |F| by construction -- a
+    useless warm start degrades exactly to the cold start (alpha -> 0),
+    never worse."""
+    Ax0 = A(x0)
+    den = jnp.sum(Ax0 * Ax0)
+    alpha = jnp.sum(F * Ax0) / jnp.maximum(den, 1e-300)
+    alpha = jnp.where(jnp.isfinite(alpha) & (den > 1e-300), alpha, 0.0)
+    return alpha * x0, F - alpha * Ax0
+
+
+def solve_minres(spec: SceneSpec, groups, F, return_iters=False, x0=None):
     """Preconditioned MINRES on H z = F for the adjoint's TRUE (unprojected,
     possibly indefinite) Hessian solves.
 
@@ -249,6 +272,10 @@ def solve_minres(spec: SceneSpec, groups, F, return_iters=False):
     damped block-Jacobi smoothing polynomial / plain block-Jacobi."""
     st = prepare_solver_state(spec, groups, F.dtype)
     A, _ = _ops_from_state(spec, st)
+    base = None
+    F_orig = F
+    if x0 is not None:
+        base, F = _warm_split(A, F, x0)
 
     # |H| preconditioner state (abs element blocks through the same
     # DIA/pull assembly)
@@ -287,7 +314,14 @@ def solve_minres(spec: SceneSpec, groups, F, return_iters=False):
     b = F
     y0 = M(b)
     beta1 = jnp.sqrt(jnp.maximum(jnp.sum(b * y0), 1e-300))
-    tol = spec.cg_tol * beta1
+    if base is None:
+        tol = spec.cg_tol * beta1
+    else:
+        # tolerance relative to the ORIGINAL rhs (one extra M apply on the
+        # warm path), so warm and cold starts converge to the same point
+        yF = M(F_orig)
+        tol = spec.cg_tol * jnp.sqrt(
+            jnp.maximum(jnp.sum(F_orig * yF), 1e-300))
     d = F.dtype
     zero = jnp.zeros_like(b)
 
@@ -331,12 +365,13 @@ def solve_minres(spec: SceneSpec, groups, F, return_iters=False):
             jnp.asarray(0.0, d), beta1, jnp.asarray(-1.0, d),
             jnp.asarray(0.0, d), zero, zero, 0)
     out = jax.lax.while_loop(cond, body, init)
+    x = out[0] if base is None else base + out[0]
     if return_iters:
-        return out[0], out[-1]
-    return out[0]
+        return x, out[-1]
+    return x
 
 
-def solve_gmres(spec: SceneSpec, groups, F):
+def solve_gmres(spec: SceneSpec, groups, F, x0=None, return_iters=False):
     """Right-preconditioned GMRES on H z = F for the adjoint's TRUE
     (unprojected) Hessian when the scene has a DIA cloth plan.
 
@@ -374,10 +409,12 @@ def solve_gmres(spec: SceneSpec, groups, F):
         def M(r):
             return jnp.einsum("nij,nj->ni", Dinv, r)
     restart = min(spec.cg_max_iter, 64)
-    return _gmres_loop(A, M, F, spec.cg_tol, restart, spec.cg_max_iter)
+    return _gmres_loop(A, M, F, spec.cg_tol, restart, spec.cg_max_iter,
+                       x0=x0, return_iters=return_iters)
 
 
-def _gmres_loop(A, M, b, tol, m, max_total=None):
+def _gmres_loop(A, M, b, tol, m, max_total=None, x0=None,
+                return_iters=False):
     """Right-preconditioned restarted GMRES(m). The total iteration budget is
     max_total (spec.cg_max_iter): a cycle that exhausts its m-slot basis
     without converging or stalling restarts from the true residual
@@ -505,28 +542,41 @@ def _gmres_loop(A, M, b, tol, m, max_total=None):
         stalled = stalled | floor | (rn_norm > 0.5 * res_prev)
         return xn, rn, rn_norm, tot + jnp.maximum(k, 1), stalled
 
-    x, _r, _res, _tot, _ = jax.lax.while_loop(
-        outer_cond, outer_body,
-        (jnp.zeros((n,), d), b_f, bnorm, 0, False),
-    )
+    if x0 is not None:
+        # optimally scaled warm start (see _warm_split): the first cycle
+        # then solves for the correction; tolerance stays relative to |b|
+        base, r0 = _warm_split(lambda v: A(v.reshape(shape)).reshape(-1),
+                               b_f, x0.reshape(-1))
+        init = (base, r0, jnp.linalg.norm(r0), 0, False)
+    else:
+        init = (jnp.zeros((n,), d), b_f, bnorm, 0, False)
+    x, _r, _res, tot, _ = jax.lax.while_loop(outer_cond, outer_body, init)
+    if return_iters:
+        return x.reshape(shape), tot
     return x.reshape(shape)
 
 
-def solve_linear(spec: SceneSpec, groups, F):
+def solve_linear(spec: SceneSpec, groups, F, x0=None):
     if spec.solver == "dense":
         return solve_dense(spec, groups, F)
-    return solve_cg(spec, groups, F)
+    return solve_cg(spec, groups, F, x0=x0)
 
 
-def solve_adjoint(spec: SceneSpec, groups, F):
+def solve_adjoint(spec: SceneSpec, groups, F, x0=None, return_iters=False):
     """Linear solve for the backward sweep: direct on the dense path;
     grid-preconditioned GMRES when a DIA cloth plan exists; MINRES with the
-    |H| preconditioner otherwise (indefinite-safe)."""
+    |H| preconditioner otherwise (indefinite-safe).
+
+    x0: optional warm start (the previous backward step's solution --
+    adjacent steps' systems differ only by one quasi-static state update);
+    applied with an optimal scalar scaling so it can never be worse than a
+    cold start. Ignored on the exact dense path."""
     if spec.solver == "dense":
-        return solve_dense(spec, groups, F)
+        x = solve_dense(spec, groups, F)
+        return (x, jnp.asarray(0, jnp.int32)) if return_iters else x
     if spec.dia is not None and gridsolve.build_grid_plan(spec):
-        return solve_gmres(spec, groups, F)
-    return solve_minres(spec, groups, F)
+        return solve_gmres(spec, groups, F, x0=x0, return_iters=return_iters)
+    return solve_minres(spec, groups, F, x0=x0, return_iters=return_iters)
 
 
 def newton_solve(spec: SceneSpec, params, pos0, prev_pos, vel, ref_angle, contact):
@@ -610,11 +660,11 @@ def newton_solve(spec: SceneSpec, params, pos0, prev_pos, vel, ref_angle, contac
         # false branch, and pass-through of the ~30 MB operator state
         # measured ~7 ms x 8/step at bench size (trace `conditional.28`).
         def cond2(carry):
-            pos, E, it, delta = carry
+            pos, E, it, delta, p_prev = carry
             return (it < spec.max_newton_iter) & (delta >= spec.newton_tol)
 
         def body2(carry):
-            pos, E0, it, delta = carry
+            pos, E0, it, delta, p_prev = carry
             op = op_of(pos)
 
             # fori_loop (not a Python unroll) over the guarded micro
@@ -623,11 +673,13 @@ def newton_solve(spec: SceneSpec, params, pos0, prev_pos, vel, ref_angle, contac
             # doubled whole-program compile time at refresh=2); `op` rides
             # along as a loop-invariant carry (aliased, not copied)
             def micro(_, c):
-                pos, E0, it, delta = c
+                pos, E0, it, delta, p_prev = c
                 fg = elements.all_groups(spec, params, pos, ref_angle,
                                          contact, with_hess=False, spd=False)
                 F = elements.assemble_residual(spec, fg, pos, prev_pos, vel)
-                p = solve_cg_prepared(spec, op, F)
+                # warm start from the previous Newton direction (optimally
+                # scaled, never worse than cold -- _warm_split)
+                p = solve_cg_prepared(spec, op, F, x0=p_prev)
                 d_new = jnp.max(jnp.abs(p)) / spec.dt
                 new_pos, E_new = line_search(pos, p, E0)
                 cont = (it < spec.max_newton_iter) & (delta >= spec.newton_tol)
@@ -635,33 +687,38 @@ def newton_solve(spec: SceneSpec, params, pos0, prev_pos, vel, ref_angle, contac
                 E0 = jnp.where(cont, E_new, E0)
                 delta = jnp.where(cont, d_new, delta)
                 it = it + cont.astype(it.dtype)
-                return pos, E0, it, delta
+                return pos, E0, it, delta, p
 
-            return jax.lax.fori_loop(0, refresh, micro, (pos, E0, it, delta),
+            return jax.lax.fori_loop(0, refresh, micro,
+                                     (pos, E0, it, delta, p_prev),
                                      unroll=False)
 
-        pos, _E, it, delta = jax.lax.while_loop(
+        pos, _E, it, delta, _p = jax.lax.while_loop(
             cond2, body2,
             (start, energy(start), jnp.asarray(0, jnp.int32),
-             jnp.asarray(1e5, pos0.dtype)),
+             jnp.asarray(1e5, pos0.dtype), jnp.zeros_like(start)),
         )
         return pos
 
     def cond(carry):
-        pos, E, it, delta = carry
+        pos, E, it, delta, p_prev = carry
         return (it < spec.max_newton_iter) & (delta >= spec.newton_tol)
 
     def body(carry):
-        pos, E0, it, _ = carry
+        pos, E0, it, _, p_prev = carry
         groups = elements.all_groups(spec, params, pos, ref_angle, contact,
                                      with_hess=True, spd=True)
         F = elements.assemble_residual(spec, groups, pos, prev_pos, vel)
-        p = solve_linear(spec, groups, F)
+        # warm start from the previous Newton direction (optimally scaled,
+        # never worse than cold -- _warm_split); no-op on the dense path
+        p = solve_linear(spec, groups, F, x0=p_prev)
         delta = jnp.max(jnp.abs(p)) / spec.dt
         new_pos, E_new = line_search(pos, p, E0)
-        return new_pos, E_new, it + 1, delta
+        return new_pos, E_new, it + 1, delta, p
 
-    pos, _E, it, delta = jax.lax.while_loop(
-        cond, body, (start, energy(start), 0, jnp.asarray(1e5, pos0.dtype))
+    pos, _E, it, delta, _p = jax.lax.while_loop(
+        cond, body,
+        (start, energy(start), 0, jnp.asarray(1e5, pos0.dtype),
+         jnp.zeros_like(start)),
     )
     return pos
