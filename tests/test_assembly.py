@@ -318,3 +318,61 @@ def test_pallas_dia_precond_matches_xla_interpret():
     np.testing.assert_allclose(np.asarray(z2), np.asarray(z),
                                rtol=1e-12, atol=1e-13 * float(
                                    jnp.abs(z).max()))
+
+
+def test_warm_split_optimal_scaling():
+    """_warm_split: base = alpha x0 with alpha = argmin |F - a A x0|, so
+    (a) an exact seed leaves a ~zero effective rhs, (b) a zero/garbage seed
+    degrades exactly to the cold start, and (c) the returned correction
+    problem reconstructs the original solution."""
+    rng = np.random.default_rng(7)
+    n = 24
+    Q = rng.normal(0, 1, (n, n))
+    Amat = Q @ Q.T + n * np.eye(n)
+    A = lambda v: jnp.asarray(Amat) @ v
+    x_true = jnp.asarray(rng.normal(0, 1, (n,)))
+    F = A(x_true)
+
+    # exact seed: correction rhs collapses to ~0
+    base, b_eff = solver._warm_split(A, F, x_true)
+    np.testing.assert_allclose(np.asarray(base), np.asarray(x_true),
+                               rtol=1e-10)
+    assert float(jnp.linalg.norm(b_eff)) < 1e-8 * float(jnp.linalg.norm(F))
+
+    # zero seed: exact cold start
+    base0, b0 = solver._warm_split(A, F, jnp.zeros_like(x_true))
+    assert float(jnp.linalg.norm(base0)) == 0.0
+    np.testing.assert_array_equal(np.asarray(b0), np.asarray(F))
+
+    # arbitrary seed: |b_eff| <= |F| (never worse than cold), and
+    # base + A^-1 b_eff == x_true
+    x0 = jnp.asarray(rng.normal(0, 1, (n,)))
+    base1, b1 = solver._warm_split(A, F, x0)
+    assert float(jnp.linalg.norm(b1)) <= float(jnp.linalg.norm(F)) + 1e-12
+    corr = jnp.asarray(np.linalg.solve(Amat, np.asarray(b1)))
+    np.testing.assert_allclose(np.asarray(base1 + corr),
+                               np.asarray(x_true), rtol=1e-9)
+
+
+def test_warm_started_cg_matches_dense():
+    """Warm-started solve_cg converges to the same point as the cold start:
+    the stop tolerance stays relative to the ORIGINAL rhs, so every seed
+    (exact / perturbed / garbage) must land within the same residual band
+    of the direct solution as the cold start does."""
+    sc = bench_scene.make(cloth_N=12, dtype=jnp.float64, solver="cg")
+    spec, params, pos, groups = _system(sc)
+    F = elements.assemble_residual(spec, groups, pos, pos,
+                                   jnp.zeros_like(pos))
+    p_dn = solver.solve_dense(spec, groups, F)
+    dn_norm = float(jnp.linalg.norm(p_dn)) + 1e-30
+    p_cold = solver.solve_cg(spec, groups, F)
+    rel_cold = float(jnp.linalg.norm(p_cold - p_dn)) / dn_norm
+    rng = np.random.default_rng(11)
+    for seed in (p_cold,  # exact seed
+                 p_cold + 1e-3 * jnp.asarray(
+                     rng.normal(0, float(jnp.abs(p_cold).max()),
+                                p_cold.shape)),  # perturbed seed
+                 jnp.asarray(rng.normal(0, 1.0, p_cold.shape))):  # garbage
+        p_warm = solver.solve_cg(spec, groups, F, x0=seed)
+        rel = float(jnp.linalg.norm(p_warm - p_dn)) / dn_norm
+        assert rel < max(1e-3, 3.0 * rel_cold), (rel, rel_cold)
