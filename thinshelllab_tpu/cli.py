@@ -18,6 +18,11 @@ import numpy as np
 
 
 def _add_common(p):
+    p.add_argument("--platform", type=str, default="auto",
+                   choices=("auto", "cpu", "tpu"),
+                   help="force the JAX backend (this image's sitecustomize "
+                        "pins every process to the TPU; 'cpu' is the only "
+                        "way to run the CLI when the chip is busy/down)")
     p.add_argument("--env", type=str, default="folding")
     p.add_argument("--tot_step", type=int, default=50)
     p.add_argument("--Kb", type=float, default=None)
@@ -372,6 +377,12 @@ def main(argv=None):
     p.set_defaults(fn=cmd_bench)
 
     args = ap.parse_args(argv)
+    if getattr(args, "platform", "auto") != "auto":
+        # must land before any backend touch; env vars alone do not override
+        # this image's sitecustomize TPU pin (CLAUDE.md / verify skill)
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
     args.fn(args)
 
 
