@@ -1,0 +1,2 @@
+#!/bin/bash
+cd "$(dirname "$0")/.." && python -m thinshelllab_tpu.cli trajopt --env interact --reward_name compute_reward_1 --iter 400 --tot_step 50 --lr 1e-5 "$@"

@@ -144,3 +144,33 @@ def test_make_grasped_state_smoke():
     sc = registry.make_scene("balancing", max_newton_iter=6)
     st = balancing.make_grasped_state(sc, close_steps=3, settle_steps=1)
     assert np.all(np.isfinite(np.asarray(st.pos)))
+
+
+def test_objective_variant_seed_selection():
+    """Reward variants resolve to their dedicated adjoint seeds (reference
+    per-driver flags: trajopt_interact.py --sep / trajopt_balancing.py
+    --throwing select reward+loss PAIRS); unknown names fall back to the
+    default seed. The interact 'following' seed (get_loss_interact_1,
+    analytic_grad_single.py:423-427) is +1 on box x at the final step."""
+    from thinshelllab_tpu.scenes import balancing, interact, pick
+
+    sc = balancing.make()
+    assert sc.seed_for("compute_reward_throwing") is sc.seed_loss_throwing
+    assert sc.seed_for("compute_reward_throwing_RL") is sc.seed_loss_throwing
+    assert sc.seed_for("default") is sc.seed_loss
+    assert sc.seed_for("compute_reward_all") is sc.seed_loss  # fallback
+    assert "compute_reward_throwing_RL" in sc.rewards
+
+    sc2 = interact.make()
+    seed1 = sc2.seed_for("compute_reward_1")
+    assert seed1 is not sc2.seed_loss
+    T = 3
+    buffers = {"pos": jnp.zeros((T, sc2.spec.NV, 3))}
+    pg, ar = seed1(buffers)
+    bs, be = sc2.spec.body_v_start[4], sc2.spec.body_v_end[4]
+    assert float(pg[T - 1, bs:be, 0].min()) == 1.0
+    assert float(jnp.abs(pg[: T - 1]).max()) == 0.0  # final step only
+    assert float(jnp.abs(ar).max()) == 0.0
+
+    sc3 = pick.make()
+    assert sc3.seed_for("compute_reward_pick_fold") is sc3.seed_loss_pick_fold

@@ -27,6 +27,9 @@ def _add_common(p):
     p.add_argument("--tot_step", type=int, default=50)
     p.add_argument("--Kb", type=float, default=None)
     p.add_argument("--mu", type=float, default=None)
+    p.add_argument("--dense", type=float, default=None,
+                   help="box density for the interact scene (reference "
+                        "run_cmaes_separate_soft.sh --dense)")
     p.add_argument("--save_dir", type=str, default=None)
     p.add_argument("--solver", type=str, default=None,
                    help="dense|cg (default: cg on TPU, dense on CPU)")
@@ -49,6 +52,8 @@ def _make_scene(args):
         kwargs["kb"] = args.Kb
     if args.mu is not None:
         kwargs["mu_cloth_elastic"] = args.mu
+    if getattr(args, "dense", None) is not None:
+        kwargs["dense"] = args.dense
     if args.max_newton_iter is not None:
         kwargs["max_newton_iter"] = args.max_newton_iter
     kwargs["solver"] = args.solver or ("cg" if on_tpu else "dense")
@@ -82,7 +87,8 @@ def cmd_trajopt(args):
         _load_scene_state(scene, ls)
     save_dir = args.save_dir or f"imgs/traj_opt_{args.env}"
     drv = TrajOptDriver(scene, args.tot_step, lr=args.lr,
-                        max_dist=args.max_dist, save_dir=save_dir)
+                        max_dist=args.max_dist, save_dir=save_dir,
+                        reward_name=args.reward_name or "default")
     if args.load_traj:
         drv.agent.load(args.load_traj)
     if args.init_traj:
@@ -161,11 +167,20 @@ def cmd_dp(args):
     scene = _make_scene(args)
     T = args.tot_step
     n = scene.n_part
-    if args.load_traj:
+    if args.load_traj or args.init_traj:
         from .agent.traj_opt import TrajAgent
 
         agent = TrajAgent(T, n)
-        agent.load(args.load_traj)
+        if args.load_traj:
+            agent.load(args.load_traj)
+        else:
+            # fixed warm-start trajectory while the parameter is optimized
+            # (reference run_cmaes_parameter.py --traj init_traj_slide)
+            fn = getattr(agent, f"init_traj_{args.init_traj}", None)
+            if fn is None:
+                raise KeyError(f"unknown --init_traj '{args.init_traj}'; "
+                               "available: forming, pick_fold, card, slide")
+            fn()
         actions = agent.actions()
     else:
         actions = (jnp.zeros((T - 1, n, 3)), jnp.zeros((T - 1, n, 3)),
@@ -316,6 +331,11 @@ def main(argv=None):
     p.add_argument("--iter", type=int, default=10)
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--max_dist", type=float, default=0.015)
+    p.add_argument("--reward_name", type=str, default=None,
+                   help="objective variant; selects the matching adjoint "
+                        "seed when the scene defines one (reference "
+                        "trajopt_interact.py --sep / trajopt_balancing.py "
+                        "--throwing)")
     p.add_argument("--load_traj", type=str, default=None)
     p.add_argument("--init_traj", type=str, default=None,
                    help="warm start: forming|pick_fold|card|slide "
@@ -345,6 +365,9 @@ def main(argv=None):
     p.add_argument("--iter", type=int, default=10)
     p.add_argument("--lr", type=float, default=1.0)
     p.add_argument("--load_traj", type=str, default=None)
+    p.add_argument("--init_traj", type=str, default=None,
+                   help="fixed warm-start trajectory during system ID "
+                        "(reference run_cmaes_parameter.py --traj)")
     p.add_argument("--method", type=str, default="grad",
                    choices=["grad", "cmaes"],
                    help="'grad': adjoint descent; 'cmaes': gradient-free "

@@ -95,8 +95,15 @@ def make(cloth_size=0.06, kb=100.0, mu_cloth_elastic=5.0, solver="dense",
     sc = base.TaskScene(
         name="balancing", spec=spec, state0=state0, params=params, n_part=2,
         rewards={"default": reward, "compute_reward_all": reward_all,
-                 "compute_reward_throwing": reward_throwing},
-        seed_loss=seed_loss, builder=b,
+                 "compute_reward_throwing": reward_throwing,
+                 # RL variant (Scene_balancing.compute_reward_throwing_RL:
+                 # 170-181, run_RL_flatlift.sh): same ball-height +
+                 # edge-flatness objective evaluated on the final state
+                 "compute_reward_throwing_RL": reward_throwing},
+        seed_loss=seed_loss,
+        seed_losses={"compute_reward_throwing": seed_loss_throwing,
+                     "compute_reward_throwing_RL": seed_loss_throwing},
+        builder=b,
     )
     sc.seed_loss_throwing = seed_loss_throwing
     return sc

@@ -28,6 +28,11 @@ class TaskScene:
     rewards: Dict[str, Callable] = dataclasses.field(default_factory=dict)
     # seed_loss(buffers) -> (pos_grad (T,NV,3), angleref_grad (T,NH))
     seed_loss: Optional[Callable] = None
+    # objective variants: reward-name -> matching adjoint seed (reference
+    # selects these with per-driver flags, e.g. trajopt_interact.py --sep,
+    # trajopt_balancing.py --throwing); missing names fall back to the
+    # default seed_loss
+    seed_losses: Dict[str, Callable] = dataclasses.field(default_factory=dict)
     # which physical parameter the 'dp' drivers optimize ('kb' | 'mu_pair:<i>')
     sys_param: Optional[str] = None
     # action limiting
@@ -36,6 +41,11 @@ class TaskScene:
 
     def reward(self, buffers, name: str = "default"):
         return self.rewards[name](buffers)
+
+    def seed_for(self, name: str = "default"):
+        """The adjoint seed matching a reward variant (default seed_loss
+        when the variant has no dedicated seed)."""
+        return self.seed_losses.get(name, self.seed_loss)
 
 
 def effector_total_forces(spec: SceneSpec, params: Params, state: SimState):

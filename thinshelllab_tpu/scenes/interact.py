@@ -77,6 +77,16 @@ def make(cloth_size=0.06, kb=100.0, mu_cloth_elastic=5.0, dense=10000.0,
         pg = pg.at[T - 1, bs:be, 0].set(-256.0 / 144.0)
         return pg, jnp.zeros((T, NH), spec.dtype)
 
+    def seed_loss_1(buffers):
+        # get_loss_interact_1 (analytic_grad_single.py:423-427): +1 on box x
+        # at the final step only -- the 'following' objective selected by
+        # trajopt_interact.py WITHOUT --sep (:146-151)
+        T = buffers["pos"].shape[0]
+        NH = spec.cloth.hinge_verts.shape[0]
+        pg = jnp.zeros((T, spec.NV, 3), spec.dtype)
+        pg = pg.at[T - 1, bs:be, 0].set(1.0)
+        return pg, jnp.zeros((T, NH), spec.dtype)
+
     def grip_close_actions(actions, n_close=5, ddis=-0.0006):
         """Force the opening DOF closed for the first n_close steps
         (reference Scene_interact.action:165-170)."""
@@ -87,7 +97,8 @@ def make(cloth_size=0.06, kb=100.0, mu_cloth_elastic=5.0, dense=10000.0,
     sc = base.TaskScene(
         name="interact", spec=spec, state0=state0, params=params, n_part=1,
         rewards={"default": reward, "compute_reward_1": reward_1},
-        seed_loss=seed_loss, builder=b,
+        seed_loss=seed_loss,
+        seed_losses={"compute_reward_1": seed_loss_1}, builder=b,
     )
     sc.grip_close_actions = grip_close_actions
     return sc

@@ -79,7 +79,9 @@ def make(cloth_size=0.06, kb=200.0, mu_cloth_elastic=10.0, solver="dense",
     sc = base.TaskScene(
         name="pick", spec=spec, state0=state0, params=params, n_part=2,
         rewards={"default": reward, "compute_reward_pick_fold": reward_pick_fold},
-        seed_loss=seed_loss, builder=b,
+        seed_loss=seed_loss,
+        seed_losses={"compute_reward_pick_fold": seed_loss_pick_fold},
+        builder=b,
     )
     sc.seed_loss_pick_fold = seed_loss_pick_fold
     return sc

@@ -37,8 +37,14 @@ class TrajOptDriver:
         skip_steps: int = 0,
         accumulate_grad: bool = False,
         save_dir: Optional[str] = None,
+        reward_name: str = "default",
     ):
         self.scene = scene
+        self.reward_name = reward_name
+        # objective variant: matching seed when the scene defines one
+        # (reference per-driver flags, e.g. trajopt_interact.py --sep /
+        # trajopt_balancing.py --throwing select reward+loss pairs)
+        self._seed_loss = scene.seed_for(reward_name)
         self.T = tot_timestep
         self.agent = TrajAgent(tot_timestep, scene.n_part,
                                max_moving_dist=scene.max_moving_dist)
@@ -71,9 +77,9 @@ class TrajOptDriver:
         t0 = time.time()
         actions = self.agent.actions()
         final, buffers = self._forward(actions)
-        reward = float(self.scene.reward(buffers))
+        reward = float(self.scene.reward(buffers, self.reward_name))
 
-        seed_pos, seed_ar = self.scene.seed_loss(buffers)
+        seed_pos, seed_ar = self._seed_loss(buffers)
         res = self._backward(buffers, seed_pos, seed_ar)
         gg = res.gripper_grad
         if self.accumulate_grad:
