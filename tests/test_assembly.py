@@ -376,3 +376,54 @@ def test_warm_started_cg_matches_dense():
         p_warm = solver.solve_cg(spec, groups, F, x0=seed)
         rel = float(jnp.linalg.norm(p_warm - p_dn)) / dn_norm
         assert rel < max(1e-3, 3.0 * rel_cold), (rel, rel_cold)
+
+
+def test_force_groups_from_soups_bit_exact():
+    """The soup-shared force path (elements.force_groups_from_soups, used by
+    the Newton micro loop) is bit-identical to fusing the individual
+    *_eval force groups, and the affine soup update
+    gather_soups(pos - a p) == soups - a * dsoups holds bit-exactly
+    (gathering commutes with the line-search step on the same scalars)."""
+    sc = folding.make(table_n=4)
+    spec, params, pos, _ = _system(sc)
+    state = sc.state0
+    ref = jnp.asarray(state.ref_angle)
+    contact, _, _ = stepper.build_contacts(
+        spec, params, pos, pos, jnp.asarray(state.proj_flag),
+        jnp.asarray(state.proj_dir))
+
+    # old formulation: fuse the per-family force groups directly
+    groups = []
+    for ev in (elements.membrane_eval,):
+        _, g = ev(spec, params, pos, False, False)
+        groups.append(g)
+    _, gb = elements.bending_eval(spec, params, pos, ref, False, False)
+    groups.append(gb)
+    if spec.neo.tets.shape[0]:
+        _, gn = elements.neo_eval(spec, params, pos, False, False)
+        groups.append(gn)
+    if spec.tact.tets.shape[0]:
+        _, gt = elements.tact_eval(spec, params, pos, False, False)
+        groups.append(gt)
+    _, gc = elements.barrier_eval(spec, contact, pos, False, False)
+    _, gf = elements.friction_eval(spec, contact, pos, False, False)
+    groups.append({"idx": gc["idx"], "g": gc["g"] + gf["g"]})
+    old = elements.fuse_groups(spec, groups, with_hess=False)
+
+    new = elements.all_groups(spec, params, pos, ref, contact,
+                              with_hess=False, spd=False)
+    np.testing.assert_array_equal(np.asarray(old["g"]), np.asarray(new["g"]))
+    np.testing.assert_array_equal(np.asarray(old["idx"]),
+                                  np.asarray(new["idx"]))
+
+    # affine soup identity, bit-exact
+    rng = np.random.default_rng(5)
+    p = jnp.asarray(rng.normal(0, 1e-3, pos.shape))
+    a = 0.3125  # exactly representable
+    soups = elements.gather_soups(spec, contact, pos)
+    dsoups = elements.gather_soups(spec, contact, p, direction=True)
+    fresh = elements.gather_soups(spec, contact, pos - a * p)
+    derived = jax.tree.map(lambda xs, ds: xs - a * ds, soups, dsoups)
+    for k in fresh:
+        np.testing.assert_array_equal(np.asarray(fresh[k]),
+                                      np.asarray(derived[k]), err_msg=k)

@@ -315,7 +315,7 @@ def total_energy(spec, params, pos, prev_pos, vel, ref_angle, contact):
 
 
 def linesearch_energy_fn(spec, params, pos, p, prev_pos, vel, ref_angle,
-                         contact):
+                         contact, soups=None, dsoups=None):
     """Energy along the search line, E(alpha) = total_energy(pos - alpha p),
     with every soup gather hoisted out of the alpha loop.
 
@@ -327,33 +327,38 @@ def linesearch_energy_fn(spec, params, pos, p, prev_pos, vel, ref_angle,
     there while the Newton/CG loops carry {0,1}, inserting boundary
     layout-conversion copies measured at ~64 ms/step (x16) at bench size.
 
+    soups/dsoups: optional pre-gathered stencils (gather_soups of pos and
+    of p with direction=True) -- the Newton micro loop passes them so this
+    function gathers nothing at all.
+
     Matches total_energy term by term (same masks, same canon-stencil
     substitution on inactive hinges, same friction sqrt guard)."""
     c = spec.cloth
     kl, ka = _face_params(spec, params)
-    xm, dm = pos[c.f2v], p[c.f2v]
-
-    mask = c.hinge_mask
-    canon = _CANON_STENCIL.astype(pos.dtype)[None]
-    xb = jnp.where(mask[:, None, None], pos[c.hinge_verts], canon)
-    db = jnp.where(mask[:, None, None], p[c.hinge_verts], 0.0)
+    if soups is None:
+        soups = gather_soups(spec, contact, pos)
+    if dsoups is None:
+        dsoups = gather_soups(spec, contact, p, direction=True)
+    xm, dm = soups["xm"], dsoups["xm"]
+    xb, db = soups["xb"], dsoups["xb"]
     kb = params.kb[c.hinge_cloth]
     sel = jnp.asarray(c.hinge_sel, pos.dtype)
-    mb = mask.astype(pos.dtype)
+    mb = c.hinge_mask.astype(pos.dtype)
 
     S = _S_TET.astype(pos.dtype)
     tet_parts = []
-    for soup, mu_arr, lam_arr, efn in (
-        (spec.neo, params.neo_mu, params.neo_lam, en.neo_energy),
-        (spec.tact, params.tact_mu, params.tact_lam, en.tactile_energy),
+    for key, soup, mu_arr, lam_arr, efn in (
+        ("xn", spec.neo, params.neo_mu, params.neo_lam, en.neo_energy),
+        ("xt", spec.tact, params.tact_mu, params.tact_lam,
+         en.tactile_energy),
     ):
         if soup.tets.shape[0]:
             tet_parts.append(
                 (soup, mu_arr[soup.group], lam_arr[soup.group], efn,
-                 pos[soup.tets], p[soup.tets])
+                 soups[key], dsoups[key])
             )
 
-    xc, dc = pos[contact.idx], p[contact.idx]
+    xc, dc = soups["xc"], dsoups["xc"]
     mC = contact.active.astype(pos.dtype)
     SR = _S_REL.astype(pos.dtype)
 
@@ -391,6 +396,104 @@ def linesearch_energy_fn(spec, params, pos, p, prev_pos, vel, ref_angle,
     return E_of
 
 
+def gather_soups(spec, contact, v, direction=False):
+    """Gather every element family's stencil values from a global (NV, 3)
+    vector, ONCE. Soups are affine in v -- gathering commutes with the
+    line-search step, so
+        gather_soups(pos - a p) == tree_map(lambda x, d: x - a d,
+                                            gather_soups(pos),
+                                            gather_soups(p, direction=True))
+    bit-exactly (same scalar subtractions on the same values). This is what
+    lets one gather pass per Newton iteration (the direction p) serve the
+    residual, the line search, AND the next iteration's position soups.
+
+    direction=False substitutes _CANON_STENCIL on masked-out hinges (the
+    NaN-safety rule); direction=True zeroes them so the affine identity
+    above preserves the canon rows."""
+    c = spec.cloth
+    out = {"xm": v[c.f2v]}
+    if direction:
+        xb = jnp.where(c.hinge_mask[:, None, None], v[c.hinge_verts], 0.0)
+    else:
+        xb = jnp.where(
+            c.hinge_mask[:, None, None], v[c.hinge_verts],
+            _CANON_STENCIL.astype(v.dtype)[None],
+        )
+    out["xb"] = xb
+    if spec.neo.tets.shape[0]:
+        out["xn"] = v[spec.neo.tets]
+    if spec.tact.tets.shape[0]:
+        out["xt"] = v[spec.tact.tets]
+    out["xc"] = v[contact.idx]
+    return out
+
+
+def _friction_force_from_soup(spec, contact, xc):
+    """Per-element friction force from the gathered contact soup (the
+    force-only half of friction_eval, same guards)."""
+    w = contact.w
+    T = contact.T
+    k = contact.k
+    eh = spec.eps_v * spec.dt
+    xcen = jnp.einsum("ck,cki->ci", w, xc[:, :3])
+    dx = xc[:, 3] - xcen - contact.dx0
+    u = jnp.einsum("cti,ci->ct", T, dx)
+    r = jnp.sqrt(jnp.sum(u * u, axis=1) + jnp.finfo(u.dtype).tiny)
+    f1 = jnp.where(r > eh, 1.0 / jnp.maximum(r, 1e-300),
+                   -r / eh**2 + 2.0 / eh)
+    g_u = u * (k * f1)[:, None]
+    g1 = jnp.einsum("ct,cti->ci", g_u, T)
+    w1 = jnp.concatenate([-w, jnp.ones((w.shape[0], 1), w.dtype)], axis=1)
+    m = contact.active.astype(xc.dtype)
+    return w1[:, :, None] * g1[:, None, :] * m[:, None, None]
+
+
+def force_groups_from_soups(spec, params, soups, ref_angle, contact):
+    """The fused force-only group (all_groups with_hess=False) computed from
+    pre-gathered soups -- no (NV, 3) gathers. Mirrors each *_eval's force
+    path exactly (same masks/guards), so the result is bit-identical to
+    all_groups(..., with_hess=False)."""
+    c = spec.cloth
+    groups = []
+    kl, ka = _face_params(spec, params)
+    gm = jax.vmap(jax.grad(en.membrane_energy))(
+        soups["xm"], c.l0, c.rest_area, kl, ka)
+    groups.append({"idx": c.f2v, "g": gm})
+
+    kb = params.kb[c.hinge_cloth]
+    sel = jnp.asarray(c.hinge_sel, soups["xb"].dtype)
+    m = c.hinge_mask.astype(soups["xb"].dtype)
+    gb = jax.vmap(jax.grad(en.bending_energy))(
+        soups["xb"], sel, ref_angle, c.hinge_coef, kb)
+    groups.append({"idx": c.hinge_verts, "g": gb * m[:, None, None]})
+
+    S = _S_TET.astype(soups["xm"].dtype)
+    for key, soup, mu_arr, lam_arr, efn in (
+        ("xn", spec.neo, params.neo_mu, params.neo_lam, en.neo_energy),
+        ("xt", spec.tact, params.tact_mu, params.tact_lam,
+         en.tactile_energy),
+    ):
+        if key not in soups:
+            continue
+        D = jnp.einsum("aj,tai->tij", S, soups[key])
+        mu = mu_arr[soup.group]
+        lam = lam_arr[soup.group]
+        G = jax.vmap(jax.grad(efn))(D, soup.B, soup.W, mu, lam)
+        groups.append({"idx": soup.tets,
+                       "g": jnp.einsum("tij,aj->tai", G, S)})
+
+    SR = _S_REL.astype(soups["xc"].dtype)
+    R = jnp.einsum("ar,cai->cri", SR, soups["xc"])
+    Gb = jax.vmap(jax.grad(
+        lambda Rm: en.barrier_energy(Rm, spec.k_contact, spec.eps_contact)
+    ))(R)
+    mC = contact.active.astype(soups["xc"].dtype)
+    g_bar = jnp.einsum("cri,ar->cai", Gb, SR) * mC[:, None, None]
+    g_fr = _friction_force_from_soup(spec, contact, soups["xc"])
+    groups.append({"idx": contact.idx, "g": g_bar + g_fr})
+    return fuse_groups(spec, groups, with_hess=False)
+
+
 def all_groups(spec, params, pos, ref_angle, contact, with_hess=True, spd=True):
     """Evaluate every element soup and fuse into ONE padded block group:
         idx: (E, 4) int32 (3-vertex elements padded with a ghost vertex NV)
@@ -398,6 +501,10 @@ def all_groups(spec, params, pos, ref_angle, contact, with_hess=True, spd=True):
         H:   (E, 4, 4, 3, 3) when with_hess
     A single fused group means one gather/scatter per assembly operation --
     the TPU-friendly layout (scatter-adds dominate the runtime otherwise)."""
+    if not with_hess:
+        soups = gather_soups(spec, contact, pos)
+        return force_groups_from_soups(spec, params, soups, ref_angle,
+                                       contact)
     groups = []
     _, gm = membrane_eval(spec, params, pos, with_hess, spd)
     groups.append(gm)

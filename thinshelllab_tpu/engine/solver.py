@@ -609,12 +609,15 @@ def newton_solve(spec: SceneSpec, params, pos0, prev_pos, vel, ref_angle, contac
     ) * spec.dt**2
     start = jnp.where(jnp.asarray(spec.frozen), pos0, x_hat)
 
-    def line_search(pos, p, E0):
+    def line_search(pos, p, E0, soups=None, dsoups=None):
         # E(alpha) with all soup gathers hoisted out of the alpha loop --
         # same values as energy(pos - alpha p), no gathers (and no layout
         # flip) inside the while_loop. See elements.linesearch_energy_fn.
+        # The micro loop passes pre-gathered soups so NOTHING is gathered
+        # here at all.
         E_of = elements.linesearch_energy_fn(
-            spec, params, pos, p, prev_pos, vel, ref_angle, contact
+            spec, params, pos, p, prev_pos, vel, ref_angle, contact,
+            soups=soups, dsoups=dsoups,
         )
 
         def ls_cond(c):
@@ -638,7 +641,7 @@ def newton_solve(spec: SceneSpec, params, pos0, prev_pos, vel, ref_angle, contac
         # carried E belongs to alpha*2 = applied. (The loop always runs
         # >= 1 iteration since linesearch_min_alpha < 1.) No second
         # energy-graph copy in a cond branch.
-        return new_pos, E_ls
+        return new_pos, E_ls, applied
 
     refresh = max(1, spec.hess_refresh)
     if refresh > 1 and spec.solver != "dense":
@@ -660,11 +663,11 @@ def newton_solve(spec: SceneSpec, params, pos0, prev_pos, vel, ref_angle, contac
         # false branch, and pass-through of the ~30 MB operator state
         # measured ~7 ms x 8/step at bench size (trace `conditional.28`).
         def cond2(carry):
-            pos, E, it, delta, p_prev = carry
+            pos, E, it, delta, p_prev, soups = carry
             return (it < spec.max_newton_iter) & (delta >= spec.newton_tol)
 
         def body2(carry):
-            pos, E0, it, delta, p_prev = carry
+            pos, E0, it, delta, p_prev, soups = carry
             op = op_of(pos)
 
             # fori_loop (not a Python unroll) over the guarded micro
@@ -673,30 +676,43 @@ def newton_solve(spec: SceneSpec, params, pos0, prev_pos, vel, ref_angle, contac
             # doubled whole-program compile time at refresh=2); `op` rides
             # along as a loop-invariant carry (aliased, not copied)
             def micro(_, c):
-                pos, E0, it, delta, p_prev = c
-                fg = elements.all_groups(spec, params, pos, ref_angle,
-                                         contact, with_hess=False, spd=False)
+                pos, E0, it, delta, p_prev, soups = c
+                # ONE gather pass per micro iteration (the new direction
+                # p): the residual comes from the carried position soups,
+                # the line search reuses both, and the accepted position's
+                # soups are the affine update soups - applied*dsoups
+                # (bit-identical to a fresh gather -- see
+                # elements.gather_soups)
+                fg = elements.force_groups_from_soups(
+                    spec, params, soups, ref_angle, contact)
                 F = elements.assemble_residual(spec, fg, pos, prev_pos, vel)
                 # warm start from the previous Newton direction (optimally
                 # scaled, never worse than cold -- _warm_split)
                 p = solve_cg_prepared(spec, op, F, x0=p_prev)
                 d_new = jnp.max(jnp.abs(p)) / spec.dt
-                new_pos, E_new = line_search(pos, p, E0)
+                dsoups = elements.gather_soups(spec, contact, p,
+                                               direction=True)
+                new_pos, E_new, applied = line_search(pos, p, E0, soups,
+                                                      dsoups)
                 cont = (it < spec.max_newton_iter) & (delta >= spec.newton_tol)
+                new_soups = jax.tree.map(
+                    lambda xs, ds: jnp.where(cont, xs - applied * ds, xs),
+                    soups, dsoups)
                 pos = jnp.where(cont, new_pos, pos)
                 E0 = jnp.where(cont, E_new, E0)
                 delta = jnp.where(cont, d_new, delta)
                 it = it + cont.astype(it.dtype)
-                return pos, E0, it, delta, p
+                return pos, E0, it, delta, p, new_soups
 
             return jax.lax.fori_loop(0, refresh, micro,
-                                     (pos, E0, it, delta, p_prev),
+                                     (pos, E0, it, delta, p_prev, soups),
                                      unroll=False)
 
-        pos, _E, it, delta, _p = jax.lax.while_loop(
+        pos, _E, it, delta, _p, _s = jax.lax.while_loop(
             cond2, body2,
             (start, energy(start), jnp.asarray(0, jnp.int32),
-             jnp.asarray(1e5, pos0.dtype), jnp.zeros_like(start)),
+             jnp.asarray(1e5, pos0.dtype), jnp.zeros_like(start),
+             elements.gather_soups(spec, contact, start)),
         )
         return pos
 
@@ -713,7 +729,7 @@ def newton_solve(spec: SceneSpec, params, pos0, prev_pos, vel, ref_angle, contac
         # never worse than cold -- _warm_split); no-op on the dense path
         p = solve_linear(spec, groups, F, x0=p_prev)
         delta = jnp.max(jnp.abs(p)) / spec.dt
-        new_pos, E_new = line_search(pos, p, E0)
+        new_pos, E_new, _applied = line_search(pos, p, E0)
         return new_pos, E_new, it + 1, delta, p
 
     pos, _E, it, delta, _p = jax.lax.while_loop(
