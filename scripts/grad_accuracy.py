@@ -111,10 +111,12 @@ def run_adjoint_on_tape(scene, tape_path, out_path):
     z = np.load(tape_path)
     buffers = {k[5:]: jnp.asarray(z[k], jnp.float32)
                for k in z.files if k.startswith("tape_")}
-    # integer tape entries must stay integer
-    for k in ("final_proj_flag", "final_proj_dir"):
+    # integer/bool tape entries must not be cast to float
+    for k, dt_ in (("final_proj_flag", jnp.int32),
+                   ("final_proj_dir", jnp.int32),
+                   ("yield_gate", jnp.bool_)):
         if k in buffers:
-            buffers[k] = jnp.asarray(np.asarray(z[f"tape_{k}"]), jnp.int32)
+            buffers[k] = jnp.asarray(np.asarray(z[f"tape_{k}"]), dt_)
     seed_pos, seed_ar = sc.seed_loss(buffers)
     res = jax.jit(
         lambda b, sp, sa: adjoint.backward(spec, params, b, sp, sa)
@@ -144,6 +146,15 @@ def compare(a_path, b_path, scene="?"):
 
 
 def main():
+    # --cpu: run the f32 legs on the CPU backend too (e.g. when the TPU
+    # tunnel is down); the f64 leg always forces CPU
+    if "--cpu" in sys.argv:
+        sys.argv.remove("--cpu")
+        os.environ["GRAD_ACC_CPU"] = "1"
+    if os.environ.get("GRAD_ACC_CPU"):
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     mode = sys.argv[1]
     if mode == "run":
         run(sys.argv[2], sys.argv[3], sys.argv[4])

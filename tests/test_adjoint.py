@@ -189,3 +189,31 @@ def test_static_friction_loss_seed(scene):
     g_ref = jax.grad(loss)(pos)
     np.testing.assert_allclose(np.asarray(pg), np.asarray(g_ref),
                                rtol=1e-10, atol=1e-12)
+
+
+def test_yield_gate_tape_matches_recompute(scene):
+    """The tape-recorded forward yield decisions (buffers["yield_gate"])
+    are the same predicate the backward would re-derive, so the backward
+    must produce identical gradients with and without the tape gate at
+    matching precision; the tape gate must also actually fire (folding is
+    plastic and the press bends hinges past yield)."""
+    actions = make_actions(6, scene.n_part, dz=-0.0006)
+    _, buffers = stepper.simulate(
+        scene.spec, scene.params, scene.state0, actions)
+    assert "yield_gate" in buffers
+    assert bool(jnp.any(buffers["yield_gate"])), "no hinge ever yielded"
+
+    T, NV = buffers["pos"].shape[:2]
+    NH = scene.spec.cloth.hinge_verts.shape[0]
+    cloth_nv = scene.spec.cloth.NV_per[0]
+    seed_pos = jnp.zeros((T, NV, 3)).at[T - 1, :cloth_nv, 2].set(1.0)
+    seed_ar = jnp.zeros((T, NH))
+
+    res_tape = adjoint.backward(
+        scene.spec, scene.params, buffers, seed_pos, seed_ar)
+    no_gate = {k: v for k, v in buffers.items() if k != "yield_gate"}
+    res_rec = adjoint.backward(
+        scene.spec, scene.params, no_gate, seed_pos, seed_ar)
+    np.testing.assert_allclose(
+        np.asarray(res_tape.gripper_grad), np.asarray(res_rec.gripper_grad),
+        rtol=0, atol=0)

@@ -256,9 +256,20 @@ def backward(
                 spec, contact, pos_t, f_loss_ratio
             )
 
-        # plastic chain a2ax at (pos_t, ref_t)
+        # plastic chain a2ax at (pos_t, ref_t). The yield gate is the same
+        # predicate the forward's update_ref_angle evaluated at step t
+        # (pos_t vs ref_{t-1}); when the tape carries the forward's
+        # decisions, reuse them -- differentiating the forward that
+        # actually ran -- instead of re-deriving a threshold comparison
+        # that can flip at reduced precision on hinges near the yield
+        # surface (the measured source of the plastic-scene f32 adjoint
+        # error, BASELINE.md round-3 table). Identical in exact arithmetic
+        # to the reference's recompute (ref_angle_backprop_a2ax:1180-1209).
         dth, theta = _hinge_grads(spec, pos_t)
-        yielded = jnp.abs(theta - ref_t) > k_angle
+        if "yield_gate" in buffers:
+            yielded = buffers["yield_gate"][t]
+        else:
+            yielded = jnp.abs(theta - ref_t) > k_angle
         factor = jnp.where(yielded, 1.0, 0.1) * c.hinge_mask
         contrib = (ar_t * factor)[:, None, None] * dth
         pg_t = pg_t.at[c.hinge_verts].add(contrib)

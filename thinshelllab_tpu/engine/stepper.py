@@ -29,12 +29,18 @@ class StepAux(NamedTuple):
     prev_pos: jnp.ndarray
     contact_active: jnp.ndarray
     newton_pos: jnp.ndarray
+    yield_gate: jnp.ndarray
 
 
-def update_ref_angle(spec: SceneSpec, pos, ref_angle):
+def update_ref_angle_gate(spec: SceneSpec, pos, ref_angle):
     """Plastic yield update (reference model_fold_offset.update_ref_angle
     :177-186): when |theta - ref| exceeds k_angle, ref moves to the yield
-    surface."""
+    surface. Also returns the boolean yield decisions, recorded in the
+    trajectory tape so the backward a2ax gate reuses the forward's exact
+    decisions (adjoint.backward) instead of re-deriving the threshold
+    comparison -- at reduced precision a recomputed predicate can flip on
+    hinges near the yield surface, which was the measured source of the
+    plastic-scene f32 adjoint error (BASELINE.md round-3 table)."""
     c = spec.cloth
     x = pos[c.hinge_verts]
     sel = jnp.asarray(c.hinge_sel, pos.dtype)
@@ -44,7 +50,11 @@ def update_ref_angle(spec: SceneSpec, pos, ref_angle):
     absd = jnp.abs(dis)
     yielded = (absd > k_angle) & c.hinge_mask
     new_ref = ref_angle + jnp.where(yielded, (absd - k_angle) * jnp.sign(dis), 0.0)
-    return new_ref
+    return new_ref, yielded
+
+
+def update_ref_angle(spec: SceneSpec, pos, ref_angle):
+    return update_ref_angle_gate(spec, pos, ref_angle)[0]
 
 
 def build_contacts(spec: SceneSpec, params: Params, pos, prev_pos, proj_flag,
@@ -81,7 +91,9 @@ def time_step(spec: SceneSpec, params: Params, state: SimState, action):
     new_vel = (new_pos - prev_pos) * (spec.damping / spec.dt)
     ref_angle = state.ref_angle
     if spec.plastic:
-        ref_angle = update_ref_angle(spec, new_pos, ref_angle)
+        ref_angle, yield_gate = update_ref_angle_gate(spec, new_pos, ref_angle)
+    else:
+        yield_gate = jnp.zeros(state.ref_angle.shape, bool)
 
     new_state = SimState(
         pos=new_pos,
@@ -92,7 +104,7 @@ def time_step(spec: SceneSpec, params: Params, state: SimState, action):
         gripper=gs,
     )
     aux = StepAux(prev_pos=prev_pos, contact_active=contact.active,
-                  newton_pos=new_pos)
+                  newton_pos=new_pos, yield_gate=yield_gate)
     return new_state, aux
 
 
@@ -104,9 +116,9 @@ def rollout(spec: SceneSpec, params: Params, state: SimState, actions):
     analytic_grad_single.copy_pos:38-52)."""
 
     def f(st, act):
-        st2, _aux = time_step(spec, params, st, act)
+        st2, aux = time_step(spec, params, st, act)
         saved = (st2.pos, st2.ref_angle, st2.gripper.pos, st2.gripper.rot,
-                 st2.gripper.dist, st2.gripper.pad_local)
+                 st2.gripper.dist, st2.gripper.pad_local, aux.yield_gate)
         return st2, saved
 
     final, saved = jax.lax.scan(f, state, actions)
@@ -118,7 +130,7 @@ def simulate(spec: SceneSpec, params: Params, state0: SimState, actions):
     state after step t (buffers[0] = initial), matching the reference's
     trajectory tape layout (analytic_grad pos_buffer)."""
     final, saved = rollout(spec, params, state0, actions)
-    pos, ref, gpos, grot, gdist, glocal = saved
+    pos, ref, gpos, grot, gdist, glocal, ygate = saved
 
     def prepend(x0, xs):
         return jnp.concatenate([x0[None], xs], axis=0)
@@ -130,6 +142,9 @@ def simulate(spec: SceneSpec, params: Params, state0: SimState, actions):
         "gripper_rot": prepend(state0.gripper.rot, grot),
         "gripper_dist": prepend(state0.gripper.dist, gdist),
         "pad_local": prepend(state0.gripper.pad_local, glocal),
+        # forward yield decisions at step t (gate of update_ref_angle on
+        # pos_t vs ref_{t-1}); index [t] aligns with the backward's step t
+        "yield_gate": prepend(jnp.zeros_like(ygate[0]), ygate),
         "final_proj_flag": final.proj_flag,
         "final_proj_dir": final.proj_dir,
     }
