@@ -114,3 +114,24 @@ def test_crease_mix_texture():
                 mix_factor=1.0, mix_method="multiply")
     s = t.emit()
     assert "mix {" in s and '"multiply"' in s and "x.png" in s
+
+
+def test_debug_plots(scene, tmp_path):
+    """The three reference diagnostics (BaseScene.debug_plot /
+    plot_contact_force, model_elastic_tactile.plot_normal) produce files
+    and finite quantities."""
+    from thinshelllab_tpu.render import debug_plots
+
+    spec, params, st = scene.spec, scene.params, scene.state0
+    p1 = debug_plots.debug_plot(spec, st.pos, 0, str(tmp_path / "dbg.png"),
+                                normals=True)
+    # tactile pad body = last body (gripper pad) on the folding scene
+    pad = spec.n_bodies - 1
+    p2 = debug_plots.plot_contact_force(spec, params, st, pad,
+                                        str(tmp_path / "cf.png"))
+    p3 = debug_plots.plot_normal(spec, st.pos, pad,
+                                 str(tmp_path / "nrm.png"))
+    for p in (p1, p2, p3):
+        assert os.path.getsize(p) > 0
+    f = np.asarray(debug_plots.contact_forces(spec, params, st))
+    assert np.all(np.isfinite(f))
