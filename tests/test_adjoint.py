@@ -217,3 +217,28 @@ def test_yield_gate_tape_matches_recompute(scene):
     np.testing.assert_allclose(
         np.asarray(res_tape.gripper_grad), np.asarray(res_rec.gripper_grad),
         rtol=0, atol=0)
+
+
+def test_f32_backward_chain_finite_per_step():
+    """Regression: dtype-aware division guards. Literals like 1e-300 are
+    ZERO in f32, so degenerate masked-slot faces produced 0/0 = NaN contact
+    normals/frames; the NaN then rode the backward carry (NaN * active-mask
+    = NaN) and silently zeroed every backward step but the last (measured:
+    folding f32 adjoint rel err 0.98 -> 0.009 after the fix). Runs the
+    folding backward entirely in f32 and asserts every step contributed."""
+    sc32 = folding.make(dtype=jnp.float32, solver="cg", max_newton_iter=8)
+    T_steps = 6
+    dpos = np.zeros((T_steps, sc32.n_part, 3), np.float32)
+    dpos[:, :, 2] = -0.0006
+    acts = (jnp.asarray(dpos), jnp.zeros((T_steps, sc32.n_part, 3), jnp.float32),
+            jnp.zeros((T_steps, sc32.n_part), jnp.float32))
+    _, buffers = stepper.simulate(sc32.spec, sc32.params, sc32.state0, acts)
+    assert bool(jnp.all(jnp.isfinite(buffers["pos"])))
+    seed_pos, seed_ar = sc32.seed_loss(buffers)
+    res = adjoint.backward(sc32.spec, sc32.params, buffers, seed_pos, seed_ar)
+    gg = np.asarray(res.gripper_grad)
+    assert np.all(np.isfinite(gg))
+    # every backward step (1..T-1) must contribute a nonzero gripper grad:
+    # the NaN bug manifested as exactly one nonzero step
+    per_step = np.abs(gg).max(axis=(1, 2))
+    assert (per_step[1:] > 0).all(), per_step

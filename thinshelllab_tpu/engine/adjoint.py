@@ -80,7 +80,8 @@ def _contact_energy_backprop(spec, contact: ContactSet, pos_t, z):
     dx = x[:, 3] - xc - contact.dx0
     u = jnp.einsum("cti,ci->ct", T, dx)
     r = jnp.linalg.norm(u, axis=1)
-    f1 = jnp.where(r > eh, 1.0 / jnp.maximum(r, 1e-300), -r / eh**2 + 2.0 / eh)
+    tiny = jnp.finfo(jnp.result_type(r)).tiny
+    f1 = jnp.where(r > eh, 1.0 / jnp.maximum(r, tiny), -r / eh**2 + 2.0 / eh)
     g1 = jnp.einsum("ct,cti->ci", u * (k * f1)[:, None], T)  # friction force dir
 
     active = contact.active.astype(pos_t.dtype)
@@ -88,8 +89,9 @@ def _contact_energy_backprop(spec, contact: ContactSet, pos_t, z):
 
     # pressure chain: w1 = [w0, w1, w2, -1]
     wA = jnp.concatenate([w, -jnp.ones((w.shape[0], 1), w.dtype)], axis=1)
-    pressure = k / jnp.where(jnp.abs(mu) > 1e-300, mu, 1e-300)
-    safe_p = jnp.where(jnp.abs(pressure) > 1e-300, pressure, 1e-300)
+    tiny = jnp.finfo(jnp.result_type(k)).tiny
+    pressure = k / jnp.where(jnp.abs(mu) > tiny, mu, tiny)
+    safe_p = jnp.where(jnp.abs(pressure) > tiny, pressure, tiny)
     s1 = jnp.einsum("ca,ci,cai->c", wA, g1, zc) / safe_p  # sum zT * dfdp
     contrib_p = (
         (s1 * spec.k_contact)[:, None, None]
@@ -99,7 +101,7 @@ def _contact_energy_backprop(spec, contact: ContactSet, pos_t, z):
 
     # rest-offset chain: w1 = [-w0, -w1, -w2, 1]
     wB = jnp.concatenate([-w, jnp.ones((w.shape[0], 1), w.dtype)], axis=1)
-    f1p = jnp.where(r > eh, -1.0 / jnp.maximum(r, 1e-300) ** 2, -1.0 / eh**2)
+    f1p = jnp.where(r > eh, -1.0 / jnp.maximum(r, tiny) ** 2, -1.0 / eh**2)
     coef = jnp.where(r > 1e-9, f1p / jnp.maximum(r, 1e-9), 0.0)
     h = f1[:, None, None] * jnp.eye(2, dtype=pos_t.dtype) + coef[:, None, None] * jnp.einsum(
         "ct,cs->cts", u, u
@@ -163,7 +165,8 @@ def _param_residual_vjp(spec, contact, pos_t, ref_t, z_masked, params):
     """-z . dF/dparams with F the residual at pos_t; the friction scale k is
     re-derived from mu so the friction-coefficient chain is captured."""
     pressure = contact.k / jnp.where(
-        jnp.abs(contact.mu) > 1e-300, contact.mu, 1e-300
+        jnp.abs(contact.mu) > jnp.finfo(pos_t.dtype).tiny, contact.mu,
+        jnp.finfo(pos_t.dtype).tiny
     )
 
     def residual_of_params(p: Params):

@@ -273,7 +273,8 @@ def friction_eval(spec, contact: ContactSet, pos, with_hess: bool, spd: bool):
     # positions -- caught by the self-contact end-to-end test.
     r = jnp.sqrt(jnp.sum(u * u, axis=1) + jnp.finfo(u.dtype).tiny)
 
-    f1 = jnp.where(r > eh, 1.0 / jnp.maximum(r, 1e-300), -r / eh**2 + 2.0 / eh)
+    tiny = jnp.finfo(jnp.result_type(r)).tiny
+    f1 = jnp.where(r > eh, 1.0 / jnp.maximum(r, tiny), -r / eh**2 + 2.0 / eh)
     E = k * en.f0_smooth(r, spec.eps_v, spec.dt)
 
     g_u = u * (k * f1)[:, None]          # (C, 2)
@@ -283,7 +284,7 @@ def friction_eval(spec, contact: ContactSet, pos, with_hess: bool, spd: bool):
     g = w1[:, :, None] * g1[:, None, :] * m[:, None, None]
     out = {"idx": idx, "g": g}
     if with_hess:
-        f1p = jnp.where(r > eh, -1.0 / jnp.maximum(r, 1e-300) ** 2, -1.0 / eh**2)
+        f1p = jnp.where(r > eh, -1.0 / jnp.maximum(r, tiny) ** 2, -1.0 / eh**2)
         uu = jnp.einsum("ct,cs->cts", u, u)
         # reference drops the outer-product term for r <= 1e-9 (BaseScene:659)
         coef = jnp.where(r > 1e-9, f1p / jnp.maximum(r, 1e-9), 0.0)
@@ -439,7 +440,8 @@ def _friction_force_from_soup(spec, contact, xc):
     dx = xc[:, 3] - xcen - contact.dx0
     u = jnp.einsum("cti,ci->ct", T, dx)
     r = jnp.sqrt(jnp.sum(u * u, axis=1) + jnp.finfo(u.dtype).tiny)
-    f1 = jnp.where(r > eh, 1.0 / jnp.maximum(r, 1e-300),
+    tiny = jnp.finfo(jnp.result_type(r)).tiny
+    f1 = jnp.where(r > eh, 1.0 / jnp.maximum(r, tiny),
                    -r / eh**2 + 2.0 / eh)
     g_u = u * (k * f1)[:, None]
     g1 = jnp.einsum("ct,cti->ci", g_u, T)

@@ -39,7 +39,8 @@ def _inv3x3(A):
     A32 = b * g - a * h
     A33 = a * e - b * d
     det = a * A11 + b * A21 + c * A31
-    inv_det = 1.0 / jnp.where(jnp.abs(det) > 1e-300, det, 1e-300)
+    tiny = jnp.finfo(jnp.result_type(det)).tiny
+    inv_det = 1.0 / jnp.where(jnp.abs(det) > tiny, det, tiny)
     out = jnp.stack(
         [A11, A12, A13, A21, A22, A23, A31, A32, A33], axis=-1
     ).reshape(A.shape)
@@ -184,7 +185,7 @@ def solve_cg_prepared(spec: SceneSpec, st, F, return_iters=False, x0=None):
             return jnp.einsum("nij,nj->ni", Dinv, r)
 
     bnorm = jnp.linalg.norm(F)
-    tol2 = (spec.cg_tol * bnorm) ** 2 + 1e-300
+    tol2 = (spec.cg_tol * bnorm) ** 2 + jnp.finfo(jnp.result_type(bnorm)).tiny
     if x0 is not None:
         base, b = _warm_split(A, F, x0)
     else:
@@ -207,7 +208,8 @@ def solve_cg_prepared(spec: SceneSpec, st, F, return_iters=False, x0=None):
         x, r, z, p, rz, it = carry
         Ap = A(p)
         denom = jnp.sum(p * Ap)
-        alpha = rz / jnp.where(jnp.abs(denom) > 1e-300, denom, 1e-300)
+        tiny = jnp.finfo(jnp.result_type(denom)).tiny
+        alpha = rz / jnp.where(jnp.abs(denom) > tiny, denom, tiny)
         # breakdown guard: never poison x (the cond's finite check then
         # terminates on the stalled residual)
         alpha = jnp.where(jnp.isfinite(alpha), alpha, 0.0)
@@ -215,7 +217,7 @@ def solve_cg_prepared(spec: SceneSpec, st, F, return_iters=False, x0=None):
         r = r - alpha * Ap
         z = precond(r)
         rz_new = jnp.sum(r * z)
-        beta = rz_new / jnp.where(jnp.abs(rz) > 1e-300, rz, 1e-300)
+        beta = rz_new / jnp.where(jnp.abs(rz) > tiny, rz, tiny)
         p = z + beta * p
         return x, r, z, p, rz_new, it + 1
 
@@ -250,8 +252,9 @@ def _warm_split(A, F, x0):
     never worse."""
     Ax0 = A(x0)
     den = jnp.sum(Ax0 * Ax0)
-    alpha = jnp.sum(F * Ax0) / jnp.maximum(den, 1e-300)
-    alpha = jnp.where(jnp.isfinite(alpha) & (den > 1e-300), alpha, 0.0)
+    tiny = jnp.finfo(jnp.result_type(den)).tiny
+    alpha = jnp.sum(F * Ax0) / jnp.maximum(den, tiny)
+    alpha = jnp.where(jnp.isfinite(alpha) & (den > tiny), alpha, 0.0)
     return alpha * x0, F - alpha * Ax0
 
 
@@ -313,7 +316,8 @@ def solve_minres(spec: SceneSpec, groups, F, return_iters=False, x0=None):
 
     b = F
     y0 = M(b)
-    beta1 = jnp.sqrt(jnp.maximum(jnp.sum(b * y0), 1e-300))
+    tiny = jnp.finfo(F.dtype).tiny
+    beta1 = jnp.sqrt(jnp.maximum(jnp.sum(b * y0), tiny))
     if base is None:
         tol = spec.cg_tol * beta1
     else:
@@ -321,7 +325,7 @@ def solve_minres(spec: SceneSpec, groups, F, return_iters=False, x0=None):
         # warm path), so warm and cold starts converge to the same point
         yF = M(F_orig)
         tol = spec.cg_tol * jnp.sqrt(
-            jnp.maximum(jnp.sum(F_orig * yF), 1e-300))
+            jnp.maximum(jnp.sum(F_orig * yF), tiny))
     d = F.dtype
     zero = jnp.zeros_like(b)
 
@@ -343,13 +347,13 @@ def solve_minres(spec: SceneSpec, groups, F, return_iters=False, x0=None):
         yn = M(r2n)
         oldbn = beta
         beta2 = jnp.sum(r2n * yn)
-        betan = jnp.sqrt(jnp.maximum(beta2, 1e-300))
+        betan = jnp.sqrt(jnp.maximum(beta2, tiny))
         oldeps = epsln
         delta = cs * dbar + sn * alfa
         gbar = sn * dbar - cs * alfa
         epsn = sn * betan
         dbarn = -cs * betan
-        gamma = jnp.maximum(jnp.sqrt(gbar**2 + betan**2), 1e-300)
+        gamma = jnp.maximum(jnp.sqrt(gbar**2 + betan**2), tiny)
         csn = gbar / gamma
         snn = betan / gamma
         phi = csn * phibar
@@ -454,7 +458,8 @@ def _gmres_loop(A, M, b, tol, m, max_total=None, x0=None,
         H = jnp.zeros((m + 1, m), d)
         Q = jnp.eye(m + 1, dtype=d)
         g = jnp.zeros((m + 1,), d)
-        V = V.at[0].set(r / jnp.maximum(beta, 1e-300))
+        tiny = jnp.finfo(d).tiny
+        V = V.at[0].set(r / jnp.maximum(beta, tiny))
         g = g.at[0].set(beta)
 
         def cond(carry):
@@ -480,12 +485,12 @@ def _gmres_loop(A, M, b, tol, m, max_total=None, x0=None,
             h = h + h2
             wn = jnp.linalg.norm(w)
             h = h.at[k + 1].set(wn)
-            V = V.at[k + 1].set(w / jnp.maximum(wn, 1e-300))
+            V = V.at[k + 1].set(w / jnp.maximum(wn, tiny))
             # pre-rotate the raw column by the accumulated rotations
             Hc = Q @ h
             # new rotation to zero Hc[k+1]
             denom = jnp.sqrt(Hc[k] ** 2 + Hc[k + 1] ** 2)
-            denom = jnp.maximum(denom, 1e-300)
+            denom = jnp.maximum(denom, tiny)
             c_new = Hc[k] / denom
             s_new = Hc[k + 1] / denom
             Hc = Hc.at[k].set(denom).at[k + 1].set(0.0)

@@ -168,7 +168,7 @@ def vertex_normals(pos, faces, NV):
     for k in range(3):
         vn = vn.at[faces[:, k]].add(n)
     norm = jnp.linalg.norm(vn, axis=1, keepdims=True)
-    return vn / jnp.maximum(norm, 1e-300)
+    return vn / jnp.maximum(norm, jnp.finfo(pos.dtype).tiny)
 
 
 def projection_query(spec: SceneSpec, pos, vn, proj_flag, proj_dir):
@@ -204,7 +204,7 @@ def projection_query(spec: SceneSpec, pos, vn, proj_flag, proj_dir):
         vt = w[..., 0:1] * p1 + w[..., 1:2] * p2 + w[..., 2:3] * p3
         nt = jnp.cross(p2 - p1, p3 - p1)
         nt = nt / jnp.maximum(jnp.linalg.norm(nt, axis=-1, keepdims=True),
-                              1e-300)
+                              jnp.finfo(pos.dtype).tiny)
         cos = jnp.sum((x[:, None] - vt) * nt, axis=-1)
         d = jnp.where(cand_ok, d, jnp.inf)
         d_min = jnp.min(d, axis=1, keepdims=True)
@@ -323,7 +323,11 @@ def contact_analysis(
     idx = jnp.stack([i0, i1, i2, vid], axis=1)
 
     n_c = jnp.cross(pos[i1] - pos[i0], pos[i2] - pos[i0])
-    n_c = n_c / jnp.maximum(jnp.linalg.norm(n_c, axis=1, keepdims=True), 1e-300)
+    # dtype-aware guard: a literal like 1e-300 is ZERO in f32, and a
+    # degenerate (masked-slot) face then yields 0/0 = NaN normals that no
+    # downstream active-mask multiply can remove (NaN * 0 = NaN)
+    n_c = n_c / jnp.maximum(jnp.linalg.norm(n_c, axis=1, keepdims=True),
+                            jnp.finfo(pos.dtype).tiny)
 
     x_c = jnp.einsum("ck,ck...->c...", wv, pos[idx[:, :3]])
     x0_c = jnp.einsum("ck,ck...->c...", wv, prev_pos[idx[:, :3]])

@@ -163,7 +163,7 @@ def friction_energy(x, w, T, dx0, k, eps_v, h):
     dx = x[3] - xc - dx0
     u = T @ dx
     r2 = jnp.sum(u * u)
-    r = jnp.sqrt(r2 + 1e-300)
+    r = jnp.sqrt(r2 + jnp.finfo(jnp.result_type(r2)).tiny)
     return k * f0_smooth(r, eps_v, h)
 
 

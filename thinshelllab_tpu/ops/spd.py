@@ -29,8 +29,9 @@ def project_psd_2x2(H):
     l1 = 0.5 * tr + det_s
     l2 = 0.5 * tr - det_s
     # eigenvector for l1: (b, l1 - a) unless degenerate
-    vx = jnp.where(jnp.abs(b) > 1e-300, b, 1.0)
-    vy = jnp.where(jnp.abs(b) > 1e-300, l1 - a, 0.0)
+    tiny = jnp.finfo(jnp.result_type(b)).tiny
+    vx = jnp.where(jnp.abs(b) > tiny, b, 1.0)
+    vy = jnp.where(jnp.abs(b) > tiny, l1 - a, 0.0)
     nrm = jnp.sqrt(vx * vx + vy * vy)
     vx, vy = vx / nrm, vy / nrm
     l1c = jnp.maximum(l1, 0.0)
