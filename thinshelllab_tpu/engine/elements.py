@@ -385,7 +385,7 @@ def linesearch_energy_fn(spec, params, pos, p, prev_pos, vel, ref_angle,
         )(R)
         e = e + jnp.sum(eC * mC)
         # friction: identical math to friction_eval's energy term (same
-        # tiny-guarded sqrt, which en.friction_energy's 1e-300 is not in f32)
+        # dtype-aware tiny-guarded sqrt as en.friction_energy)
         xcen = jnp.einsum("ck,cki->ci", contact.w, xc_[:, :3])
         dxf = xc_[:, 3] - xcen - contact.dx0
         u = jnp.einsum("cti,ci->ct", contact.T, dxf)
