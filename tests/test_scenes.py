@@ -174,3 +174,19 @@ def test_objective_variant_seed_selection():
 
     sc3 = pick.make()
     assert sc3.seed_for("compute_reward_pick_fold") is sc3.seed_loss_pick_fold
+
+
+def test_auto_solver_resolves_by_size():
+    """solver='auto' picks the dense factorization below the DOF cutoff
+    (every reference-sized task scene) and the iterative stack above it
+    (the 10k-tri bench)."""
+    import jax.numpy as jnp
+
+    from thinshelllab_tpu.scenes import bench_scene, folding
+
+    small = folding.make(table_n=4, solver="auto", max_newton_iter=2)
+    assert small.spec.solver == "dense"
+    big = bench_scene.make(cloth_N=40, dtype=jnp.float32, solver="auto",
+                           max_newton_iter=2)
+    assert big.spec.solver == "cg"
+    assert big.spec.dia is not None

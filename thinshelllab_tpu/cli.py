@@ -32,7 +32,9 @@ def _add_common(p):
                         "run_cmaes_separate_soft.sh --dense)")
     p.add_argument("--save_dir", type=str, default=None)
     p.add_argument("--solver", type=str, default=None,
-                   help="dense|cg (default: cg on TPU, dense on CPU)")
+                   help="dense|cg|auto (default: auto on TPU -- dense "
+                        "factorization below 6000 DOF, iterative CG/DIA "
+                        "above; dense on CPU)")
     p.add_argument("--f32", action="store_true")
     p.add_argument("--f64", action="store_true")
     p.add_argument("--max_newton_iter", type=int, default=None)
@@ -56,7 +58,7 @@ def _make_scene(args):
         kwargs["dense"] = args.dense
     if args.max_newton_iter is not None:
         kwargs["max_newton_iter"] = args.max_newton_iter
-    kwargs["solver"] = args.solver or ("cg" if on_tpu else "dense")
+    kwargs["solver"] = args.solver or ("auto" if on_tpu else "dense")
     if args.f32 or (on_tpu and not args.f64):
         kwargs["dtype"] = jnp.float32
     return registry.make_scene(args.env, **kwargs)

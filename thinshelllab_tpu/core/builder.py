@@ -243,8 +243,19 @@ class SceneBuilder:
             f += b.n_faces
         return v, f
 
+    # 'auto' solver cutoff: below this many DOF a dense factorization beats
+    # the iterative stack on BOTH speed and accuracy (folding, 1506 DOF,
+    # f32: MINRES adjoint 200+ iters/step at rel err 1.1e-2 vs one dense
+    # solve at 4.3e-3 -- BASELINE.md round-3 part-3). Every reference task
+    # scene (~500-1600 verts) lands below it; the 10k-tri bench above.
+    DENSE_CUTOFF_DOF = 6000
+
     def build(self) -> tuple[SceneSpec, SimState, Params]:
         NV, NF = self._layout()
+        if self.cfg["solver"] == "auto":
+            self.cfg["solver"] = (
+                "dense" if 3 * NV <= self.DENSE_CUTOFF_DOF else "cg"
+            )
         d = self.cfg["dtype"]
         fd = np.float64
 
