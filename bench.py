@@ -25,6 +25,13 @@ REF_STEPS_PER_SEC = 0.5
 
 def main():
     import jax
+
+    # BENCH_PLATFORM=cpu: run the bench on the CPU backend (compile-time
+    # proxy measurements; also the escape hatch when the TPU tunnel is
+    # down -- this image's sitecustomize pins every process to the TPU and
+    # a dead tunnel hangs the device claim)
+    if os.environ.get("BENCH_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
     import jax.numpy as jnp
     import numpy as np
 
