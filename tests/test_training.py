@@ -232,3 +232,17 @@ def test_rollout_stop_step_matches_serial_replay():
             break
     assert first_bad is not None
     assert int(stop_step) == first_bad, (int(stop_step), first_bad)
+
+
+def test_trajopt_improves_objective():
+    """The full differentiable-optimization promise end-to-end: a few Adam
+    steps on the waypoint table strictly improve the folding reward
+    (reference trajopt_folding.py training loop). lr is the reference's
+    3e-5 (run_trajopt_folding.sh)."""
+    from thinshelllab_tpu.scenes import folding as folding_mod
+
+    sc = folding_mod.make(table_n=5, max_newton_iter=20)
+    d = TrajOptDriver(sc, tot_timestep=6, lr=3e-5)
+    hist = d.run(4, verbose=False)
+    assert np.isfinite(hist).all()
+    assert max(hist) > hist[0] + 0.01, hist
