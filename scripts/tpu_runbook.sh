@@ -45,8 +45,16 @@ run ab_hash 1500 python scripts/ab_step_hash.py
 run hash_40k 1800 env BENCH_CLOTH_N=140 BENCH_STEPS=2 BENCH_REPS=1 python bench.py
 
 # 8. TPU-f32 gradient accuracy (post NaN-guard fix; CPU-f32 numbers in
-#    BASELINE.md round-3 part-3: bench24 4.98e-4, folding 1.14e-2)
+#    BASELINE.md round-3 part-3: bench24 4.98e-4 iterative / 5.78e-5 dense,
+#    folding 1.14e-2 / 4.3e-3)
 run grad_folding 1800 python scripts/grad_accuracy.py all folding
 run grad_bench24 1800 python scripts/grad_accuracy.py all bench24
+
+# 9. solver=auto (dense) task-scene wall clock on TPU: per-iter time of the
+#    CLI default vs the forced iterative path on a reference-sized scene
+run trajopt_auto 900 python -m thinshelllab_tpu.cli trajopt --env folding \
+  --iter 3 --tot_step 10 --solver auto
+run trajopt_cg 900 python -m thinshelllab_tpu.cli trajopt --env folding \
+  --iter 3 --tot_step 10 --solver cg
 
 echo "=== runbook done; logs in $OUT ==="
