@@ -87,13 +87,21 @@ def main():
                     p, k = solve(op, F, p_prev)
                     tot_cg += int(k)
                     delta = float(jnp.max(jnp.abs(p))) / spec.dt
+                    # mirror solver.line_search exactly: on failure apply
+                    # the LAST TRIED alpha (the loop has already halved it
+                    # once past the exit test, so that is alpha * 2) and
+                    # carry the energy evaluated at that applied step
                     alpha = 1.0
                     E_new = E0
+                    ok = False
                     while alpha > spec.linesearch_min_alpha:
                         E_new = energy(x - alpha * p, **ek)
                         if float(E_new) < float(E0):
+                            ok = True
                             break
                         alpha *= 0.5
+                    if not ok:
+                        alpha *= 2.0
                     x = x - alpha * p
                     E0 = E_new
                     p_prev = p

@@ -508,7 +508,11 @@ class SceneBuilder:
         cell = np.clip(np.floor((cent - lo) / s).astype(int), 0, G - 1)
         cid = (cell[:, 0] * G[1] + cell[:, 1]) * G[2] + cell[:, 2]
         occ = int(np.bincount(cid).max())
-        cap = int(min(max(16, 4 * occ), 64))
+        # honor the 4x-rest-occupancy margin exactly -- an upper clamp here
+        # would silently drop contact candidates at runtime once folding
+        # stacks layers past it ( _hash_candidates reads <= cap faces per
+        # cell); round up to a lane-friendly multiple of 8
+        cap = int(max(16, -(-4 * occ // 8) * 8))
         return (int(G[0]), int(G[1]), int(G[2]), cap)
 
     def _build_contact(self, pos0) -> ContactSpec:

@@ -76,12 +76,9 @@ def _contact_energy_backprop(spec, contact: ContactSet, pos_t, z):
     eh = spec.eps_v * spec.dt
 
     x = pos_t[idx]
-    xc = jnp.einsum("ck,cki->ci", w, x[:, :3])
-    dx = x[:, 3] - xc - contact.dx0
-    u = jnp.einsum("cti,ci->ct", T, dx)
-    r = jnp.linalg.norm(u, axis=1)
+    u, r = elements.friction_slip(spec, contact, x)
     tiny = jnp.finfo(jnp.result_type(r)).tiny
-    f1 = jnp.where(r > eh, 1.0 / jnp.maximum(r, tiny), -r / eh**2 + 2.0 / eh)
+    f1 = elements.friction_f1(spec, r)
     g1 = jnp.einsum("ct,cti->ci", u * (k * f1)[:, None], T)  # friction force dir
 
     active = contact.active.astype(pos_t.dtype)
@@ -126,10 +123,7 @@ def static_friction_loss_pos_grad(spec, contact: ContactSet, pos_t,
     sums to 0 for barycentric w), so the base form is the whole surface."""
     idx, w, T, k = contact.idx, contact.w, contact.T, contact.k
     x = pos_t[idx]
-    xc = jnp.einsum("ck,cki->ci", w, x[:, :3])
-    dx = x[:, 3] - xc - contact.dx0
-    u = jnp.einsum("cti,ci->ct", T, dx)
-    r = jnp.linalg.norm(u, axis=1)
+    u, r = elements.friction_slip(spec, contact, x)
     gate = contact.active & (r > spec.dt * spec.eps_v * 0.9)
     u3 = jnp.einsum("ct,cti->ci", u, T)  # back to 3D: T^T u
     w1 = jnp.concatenate([-w, jnp.ones((w.shape[0], 1), w.dtype)], axis=1)

@@ -250,6 +250,46 @@ def barrier_eval(spec, contact: ContactSet, pos, with_hess: bool, spd: bool):
     return jnp.sum(E * m), out
 
 
+def friction_slip(spec, contact: ContactSet, xc):
+    """Slip kinematics of the gathered contact soup xc = pos[contact.idx]:
+    tangential displacement u (C, 2) and its guarded norm r. The ONE copy
+    of this math -- friction_eval, the gather-free line-search energy, the
+    soup force path, and the adjoint chains all consume it, so the
+    bit-identity their consistency tests rely on holds by construction.
+
+    Guarded norm: u is EXACTLY zero at the contact-build state (dx0 cancels
+    by construction) and d|u|/du is NaN there; f0 is even in u so the
+    epsilon is exact for the gradient (cf. energies.friction_energy).
+    linalg.norm here NaN-poisoned grads of any state evaluated at build
+    positions -- caught by the self-contact end-to-end test."""
+    xcen = jnp.einsum("ck,cki->ci", contact.w, xc[:, :3])
+    dx = xc[:, 3] - xcen - contact.dx0
+    u = jnp.einsum("cti,ci->ct", contact.T, dx)  # (C, 2)
+    r = jnp.sqrt(jnp.sum(u * u, axis=1) + jnp.finfo(u.dtype).tiny)
+    return u, r
+
+
+def friction_f1(spec, r):
+    """f1 = f0' / r of the smoothed Coulomb magnitude (BaseScene.py:548)."""
+    eh = spec.eps_v * spec.dt
+    tiny = jnp.finfo(jnp.result_type(r)).tiny
+    return jnp.where(r > eh, 1.0 / jnp.maximum(r, tiny), -r / eh**2 + 2.0 / eh)
+
+
+def _friction_w1(w):
+    return jnp.concatenate([-w, jnp.ones((w.shape[0], 1), w.dtype)], axis=1)
+
+
+def _friction_force_rows(spec, contact: ContactSet, xc, u, r):
+    """Masked per-element force rows (C, 4, 3) from precomputed slip."""
+    f1 = friction_f1(spec, r)
+    g_u = u * (contact.k * f1)[:, None]          # (C, 2)
+    g1 = jnp.einsum("ct,cti->ci", g_u, contact.T)  # (C, 3)
+    w1 = _friction_w1(contact.w)
+    m = contact.active.astype(xc.dtype)
+    return w1[:, :, None] * g1[:, None, :] * m[:, None, None]
+
+
 def friction_eval(spec, contact: ContactSet, pos, with_hess: bool, spd: bool):
     """Smoothed Coulomb friction (reference BaseScene.py:548-595). The force
     and Hessian have the closed form
@@ -263,27 +303,16 @@ def friction_eval(spec, contact: ContactSet, pos, with_hess: bool, spd: bool):
     k = contact.k
     eh = spec.eps_v * spec.dt
 
-    xc = jnp.einsum("ck,cki->ci", w, x[:, :3])
-    dx = x[:, 3] - xc - contact.dx0
-    u = jnp.einsum("cti,ci->ct", T, dx)  # (C, 2)
-    # guarded norm: u is EXACTLY zero at the contact-build state (dx0
-    # cancels by construction) and d|u|/du is NaN there; f0 is even in u so
-    # the epsilon is exact for the gradient (cf. energies.friction_energy).
-    # linalg.norm here NaN-poisoned grads of any state evaluated at build
-    # positions -- caught by the self-contact end-to-end test.
-    r = jnp.sqrt(jnp.sum(u * u, axis=1) + jnp.finfo(u.dtype).tiny)
-
-    tiny = jnp.finfo(jnp.result_type(r)).tiny
-    f1 = jnp.where(r > eh, 1.0 / jnp.maximum(r, tiny), -r / eh**2 + 2.0 / eh)
+    u, r = friction_slip(spec, contact, x)
+    f1 = friction_f1(spec, r)
     E = k * en.f0_smooth(r, spec.eps_v, spec.dt)
 
-    g_u = u * (k * f1)[:, None]          # (C, 2)
-    g1 = jnp.einsum("ct,cti->ci", g_u, T)  # (C, 3)
-    w1 = jnp.concatenate([-w, jnp.ones((w.shape[0], 1), w.dtype)], axis=1)  # (C,4)
     m = contact.active.astype(pos.dtype)
-    g = w1[:, :, None] * g1[:, None, :] * m[:, None, None]
+    g = _friction_force_rows(spec, contact, x, u, r)
     out = {"idx": idx, "g": g}
     if with_hess:
+        tiny = jnp.finfo(jnp.result_type(r)).tiny
+        w1 = _friction_w1(w)
         f1p = jnp.where(r > eh, -1.0 / jnp.maximum(r, tiny) ** 2, -1.0 / eh**2)
         uu = jnp.einsum("ct,cs->cts", u, u)
         # reference drops the outer-product term for r <= 1e-9 (BaseScene:659)
@@ -384,12 +413,8 @@ def linesearch_energy_fn(spec, params, pos, p, prev_pos, vel, ref_angle,
             lambda Rm: en.barrier_energy(Rm, spec.k_contact, spec.eps_contact)
         )(R)
         e = e + jnp.sum(eC * mC)
-        # friction: identical math to friction_eval's energy term (same
-        # dtype-aware tiny-guarded sqrt as en.friction_energy)
-        xcen = jnp.einsum("ck,cki->ci", contact.w, xc_[:, :3])
-        dxf = xc_[:, 3] - xcen - contact.dx0
-        u = jnp.einsum("cti,ci->ct", contact.T, dxf)
-        r = jnp.sqrt(jnp.sum(u * u, axis=1) + jnp.finfo(u.dtype).tiny)
+        # friction: friction_eval's energy term via the shared slip helper
+        _u, r = friction_slip(spec, contact, xc_)
         eF = contact.k * en.f0_smooth(r, spec.eps_v, spec.dt)
         e = e + jnp.sum(eF * mC)
         return e
@@ -432,22 +457,8 @@ def gather_soups(spec, contact, v, direction=False):
 def _friction_force_from_soup(spec, contact, xc):
     """Per-element friction force from the gathered contact soup (the
     force-only half of friction_eval, same guards)."""
-    w = contact.w
-    T = contact.T
-    k = contact.k
-    eh = spec.eps_v * spec.dt
-    xcen = jnp.einsum("ck,cki->ci", w, xc[:, :3])
-    dx = xc[:, 3] - xcen - contact.dx0
-    u = jnp.einsum("cti,ci->ct", T, dx)
-    r = jnp.sqrt(jnp.sum(u * u, axis=1) + jnp.finfo(u.dtype).tiny)
-    tiny = jnp.finfo(jnp.result_type(r)).tiny
-    f1 = jnp.where(r > eh, 1.0 / jnp.maximum(r, tiny),
-                   -r / eh**2 + 2.0 / eh)
-    g_u = u * (k * f1)[:, None]
-    g1 = jnp.einsum("ct,cti->ci", g_u, T)
-    w1 = jnp.concatenate([-w, jnp.ones((w.shape[0], 1), w.dtype)], axis=1)
-    m = contact.active.astype(xc.dtype)
-    return w1[:, :, None] * g1[:, None, :] * m[:, None, None]
+    u, r = friction_slip(spec, contact, xc)
+    return _friction_force_rows(spec, contact, xc, u, r)
 
 
 def force_groups_from_soups(spec, params, soups, ref_angle, contact):

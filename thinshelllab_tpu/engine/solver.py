@@ -529,7 +529,7 @@ def _gmres_loop(A, M, b, tol, m, max_total=None, x0=None,
 
     def outer_body(carry):
         x, r, res_prev, tot, _stalled = carry
-        dx, res_est, k, stalled = cycle(r)
+        dx, res_est, k, inner_stall = cycle(r)
         xn = x + dx.reshape(-1)
         rn = b_f - A(xn.reshape(shape)).reshape(-1)
         rn_norm = jnp.linalg.norm(rn)
@@ -542,9 +542,11 @@ def _gmres_loop(A, M, b, tol, m, max_total=None, x0=None,
         # Restarting cannot help; without this test every adjoint solve
         # whose tol sits below the floor burns a second full cycle
         # re-discovering it (the round-3 bench regression). The halving test
-        # is the backstop for cycles whose estimate ALSO stalls.
+        # applies only to cycles whose estimate ALSO stalled (a cycle that
+        # converges steadily but slowly -- e.g. 1.9x per 64-slot cycle --
+        # keeps restarting up to the cg_max_iter total budget).
         floor = rn_norm > 10.0 * jnp.maximum(res_est, tol_abs)
-        stalled = stalled | floor | (rn_norm > 0.5 * res_prev)
+        stalled = floor | (inner_stall & (rn_norm > 0.5 * res_prev))
         return xn, rn, rn_norm, tot + jnp.maximum(k, 1), stalled
 
     if x0 is not None:

@@ -89,11 +89,12 @@ def time_step(spec: SceneSpec, params: Params, state: SimState, action):
     )
 
     new_vel = (new_pos - prev_pos) * (spec.damping / spec.dt)
-    ref_angle = state.ref_angle
-    if spec.plastic:
-        ref_angle, yield_gate = update_ref_angle_gate(spec, new_pos, ref_angle)
-    else:
-        yield_gate = jnp.zeros(state.ref_angle.shape, bool)
+    # the yield predicate is evaluated for EVERY scene -- the reference's
+    # backward a2ax gate recomputes it unconditionally, plastic or not
+    # (model_fold_offset.ref_angle_backprop_a2ax:1191-1193) -- but the ref
+    # angle only moves on plastic scenes (BaseScene.time_step:1369)
+    new_ref, yield_gate = update_ref_angle_gate(spec, new_pos, state.ref_angle)
+    ref_angle = new_ref if spec.plastic else state.ref_angle
 
     new_state = SimState(
         pos=new_pos,
