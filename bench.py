@@ -32,6 +32,29 @@ def main():
     # a dead tunnel hangs the device claim)
     if os.environ.get("BENCH_PLATFORM"):
         jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
+    else:
+        # dead-tunnel watchdog: the TPU claim inside jax.devices() blocks
+        # forever (in C, uninterruptible) when the tunnel's remote end is
+        # down, which would leave the whole bench hung with no output. A
+        # healthy claim takes seconds; if it hasn't finished in 120 s,
+        # re-exec this process onto the CPU backend so the run always
+        # emits its one JSON line (platform is part of the metric string).
+        import threading
+
+        claimed = threading.Event()
+
+        def _watchdog():
+            if not claimed.wait(120.0):
+                sys.stderr.write(
+                    "bench: device claim hung >120s (TPU tunnel down?); "
+                    "re-exec on CPU backend\n")
+                env = dict(os.environ, BENCH_PLATFORM="cpu")
+                os.execve(sys.executable,
+                          [sys.executable, os.path.abspath(__file__)], env)
+
+        threading.Thread(target=_watchdog, daemon=True).start()
+        jax.devices()
+        claimed.set()
     import jax.numpy as jnp
     import numpy as np
 
