@@ -307,3 +307,23 @@ def test_self_contact_hairpin_end_to_end():
     assert bool(jnp.isfinite(st1.pos).all())
     top = np.asarray(st1.pos)[(M + 1) * (N // 2 + 1):, 2]
     assert top.min() > -1e-4, "top layer must not pass through the bottom"
+
+
+def test_hash_cap_honors_occupancy_margin():
+    """Regression: the per-cell candidate cap must honor the documented
+    4x-rest-occupancy margin with no upper clamp -- a clamp silently drops
+    contact candidates at runtime once folding stacks layers past it
+    (_hash_candidates reads <= cap faces per cell)."""
+    from thinshelllab_tpu.scenes import bench_scene
+
+    # huge grid_h => one cell spans many faces => rest occupancy >> 16
+    sc = bench_scene.make(cloth_N=32, dtype=jnp.float64, solver="cg",
+                          grid_h=0.02)
+    descs = [h for h in sc.spec.contact.hash_desc if h is not None]
+    assert descs, "expected hash descriptors at 2048 faces"
+    for (_gx, _gy, _gz, cap) in descs:
+        assert cap >= 16 and cap % 8 == 0
+    assert max(d[3] for d in descs) > 64, (
+        "coarse grid must produce a cap above the old 64 clamp: "
+        f"{descs}"
+    )

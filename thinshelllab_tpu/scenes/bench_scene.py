@@ -14,12 +14,13 @@ from . import base, cloth_init
 
 def make(cloth_N=70, dtype=jnp.float32, solver="cg", max_newton_iter=8,
          table_n=12, cg_max_iter=200, cg_tol=1e-6,
-         hess_refresh=1, spmv="auto") -> base.TaskScene:
+         hess_refresh=1, spmv="auto", grid_h=3e-3) -> base.TaskScene:
     N = M = cloth_N
     size = 0.1
     dx = size / N
     b = SceneBuilder(
         dt=5e-3,
+        grid_h=grid_h,
         k_contact=10000.0,
         eps_contact=4e-4,
         eps_v=1e-2,
