@@ -159,6 +159,11 @@ def cmd_cmaes(args):
         drv.best_agent().save(os.path.join(save_dir, f"traj_{g}.npy"))
         np.save(os.path.join(save_dir, "plot_data.npy"),
                 np.asarray(drv.history))
+        # reference parity: reward-curve PNG every generation
+        # (run_cmaes_all.py:182-184)
+        from .utils.plotting import save_reward_curve
+
+        save_reward_curve(os.path.join(save_dir, "plot.png"), drv.history)
 
 
 def cmd_dp(args):

@@ -108,6 +108,12 @@ class TrajOptDriver:
         if self.save_dir:
             np.save(os.path.join(self.save_dir, "plot_data.npy"),
                     np.asarray(self.history))
+            # reference parity: reward-curve PNG refreshed every iteration
+            # (trajopt_folding.py:141-142)
+            from ..utils.plotting import save_reward_curve
+
+            save_reward_curve(os.path.join(self.save_dir, "plot.png"),
+                              self.history)
         if render_cb is not None:
             render_cb(buffers)
         return {
