@@ -89,3 +89,38 @@ def test_graft_entry_contract():
     out = jax.jit(fn)(*args)
     assert np.all(np.isfinite(np.asarray(out)))
     m.dryrun_multichip(8)
+
+
+def test_sharded_matches_single_device_on_hash_broadphase():
+    """Sharded vs single-device equivalence with the spatial-hash
+    broadphase engaged (hash_min_faces forced to 0): the hash's
+    sort/searchsorted/gather pipeline runs inside shard_map exactly as the
+    dense sweep does. Complements the cg-dia case above -- no production
+    path should first meet shard_map in production."""
+    import dataclasses
+
+    from thinshelllab_tpu.scenes import bench_scene
+
+    sc = bench_scene.make(cloth_N=32, table_n=4, dtype=jnp.float64,
+                          solver="cg", max_newton_iter=2, cg_max_iter=40,
+                          cg_tol=1e-8)
+    con = dataclasses.replace(sc.spec.contact, hash_min_faces=0)
+    spec = dataclasses.replace(sc.spec, contact=con)
+    assert any(h is not None for h in con.hash_desc)
+
+    m = pmesh.make_mesh(8)
+    B, T = 8, 2
+    rng = np.random.default_rng(7)
+    acts = (
+        jnp.asarray(rng.normal(size=(B, T, sc.n_part, 3)) * 1e-4),
+        jnp.zeros((B, T, sc.n_part, 3)),
+        jnp.zeros((B, T, sc.n_part)),
+    )
+    reward_fn = sc.rewards["default"]
+    r_sharded = pmesh.sharded_population_rewards(
+        m, spec, sc.params, sc.state0, acts, reward_fn)
+    r_single = pmesh.batched_rollout_rewards(
+        spec, sc.params, sc.state0, acts, reward_fn)
+    np.testing.assert_allclose(np.asarray(r_sharded), np.asarray(r_single),
+                               rtol=1e-12)
+    assert np.all(np.isfinite(np.asarray(r_sharded)))
