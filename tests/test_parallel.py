@@ -91,6 +91,60 @@ def test_graft_entry_contract():
     m.dryrun_multichip(8)
 
 
+def test_import_purity_and_dryrun_subprocess():
+    """Round-3 driver failure (MULTICHIP_r03.json): dryrun_multichip imported
+    package modules BEFORE forcing the CPU platform, and a module-scope jnp
+    constant initialized the pinned (unhealthy) TPU backend. This test runs
+    in a FRESH interpreter without conftest's CPU forcing and asserts that
+    (a) importing every thinshelllab_tpu module initializes NO jax backend,
+    and (b) dryrun_multichip itself completes on the CPU platform."""
+    import subprocess
+    import sys
+    import textwrap
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    child = textwrap.dedent("""
+        import importlib, importlib.util, os, pkgutil, sys
+        import jax
+        import jax._src.xla_bridge as xb
+        # keep the child off the exclusive TPU even if the purity invariant
+        # regresses: a violating import then inits the CPU backend instead,
+        # which backends_are_initialized() still catches.
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("TSL_TEST_CACHE", "/tmp/tsl_test_jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        assert not xb.backends_are_initialized(), "backend live before imports"
+        import thinshelllab_tpu
+        for info in pkgutil.walk_packages(
+                thinshelllab_tpu.__path__, "thinshelllab_tpu."):
+            importlib.import_module(info.name)
+        assert not xb.backends_are_initialized(), (
+            "importing the package initialized a jax backend (device op at "
+            "module scope)")
+        spec = importlib.util.spec_from_file_location(
+            "graft", os.path.join(sys.argv[1], "__graft_entry__.py"))
+        m = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(m)
+        assert not xb.backends_are_initialized(), (
+            "loading __graft_entry__ initialized a jax backend")
+        m.dryrun_multichip(2)
+        assert jax.devices()[0].platform == "cpu"
+        print("PURITY_OK")
+    """)
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    res = subprocess.run(
+        [sys.executable, "-c", child, root], env=env, capture_output=True,
+        text=True, timeout=1200, cwd=root,
+    )
+    assert res.returncode == 0, (
+        f"child failed\nstdout:\n{res.stdout}\nstderr:\n{res.stderr[-4000:]}"
+    )
+    assert "PURITY_OK" in res.stdout
+
+
 def test_sharded_matches_single_device_on_hash_broadphase():
     """Sharded vs single-device equivalence with the spatial-hash
     broadphase engaged (hash_min_faces forced to 0): the hash's

@@ -16,15 +16,19 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core.spec import ContactSet, Params, SceneSpec
 from ..ops import energies as en
 from ..ops.spd import project_psd, project_psd_2x2, project_psd_method
 
+# Module-level constants are plain NUMPY (CLAUDE.md rule: no device ops at
+# import time -- a jnp literal here would eagerly initialize the pinned TPU
+# backend in processes that must stay CPU-only, e.g. dryrun_multichip).
 # S[j, a] maps vertex index a to tet shape-matrix column j: D[:, j] = x_j - x_3
-_S_TET = jnp.concatenate([jnp.eye(3), -jnp.ones((1, 3))], axis=0)  # (4, 3) [a, j]
+_S_TET = np.concatenate([np.eye(3), -np.ones((1, 3))], axis=0)  # (4, 3) [a, j]
 # Contact relative rows R[r] = x_{r+1} - x_0
-_S_REL = jnp.concatenate([-jnp.ones((1, 3)), jnp.eye(3)], axis=0)  # (4, r)
+_S_REL = np.concatenate([-np.ones((1, 3)), np.eye(3)], axis=0)  # (4, r)
 
 
 # --------------------------------------------------------------------------
@@ -139,7 +143,7 @@ def membrane_eval(spec, params, pos, with_hess: bool, spd: bool):
     return jnp.sum(E), out
 
 
-_CANON_STENCIL = jnp.array(
+_CANON_STENCIL = np.array(
     [[0.0, 0.0, 0.0], [1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [-1.0, 1.0, 0.3]]
 )
 
