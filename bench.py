@@ -170,14 +170,23 @@ def main():
     except Exception:
         prog_flops = prog_bytes = 0.0
 
+    # warm-up: HOST FETCH, not block_until_ready -- on the axon tunnel the
+    # first execution of a program returns from block_until_ready
+    # immediately while the device is still working (measured round 4: the
+    # timed loop then clocks dispatch latency, producing a nonsense 85k
+    # steps/s). A device_get reliably waits. The first execution also does
+    # the real device-side compile (~7x the AOT lower+compile call's time),
+    # so record it separately.
+    t0 = time.time()
     gg, last = run(actions)
-    gg.block_until_ready()
+    gg = jax.device_get(gg)
+    first_run_s = time.time() - t0
 
     n_rep = int(os.environ.get("BENCH_REPS", "3"))
     t0 = time.time()
     for _ in range(n_rep):
         gg, last = run(actions)
-    gg.block_until_ready()
+    gg = jax.device_get(gg)  # fetch (~60 ms tunnel RTT), robust vs block
     elapsed = (time.time() - t0) / n_rep
 
     # fwd+bwd "steps": T forward implicit steps + T adjoint steps count as T
@@ -198,6 +207,7 @@ def main():
         "unit": "steps/s",
         "vs_baseline": round(steps_per_sec / REF_STEPS_PER_SEC, 2),
         "compile_s": round(compile_s, 1),
+        "first_run_s": round(first_run_s, 1),
         "hbm_util": round(prog_bytes / elapsed / PEAK_HBM, 4),
         "mfu": round(prog_flops / elapsed / PEAK_F32, 4),
     }

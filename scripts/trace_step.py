@@ -34,11 +34,14 @@ def main():
                   jnp.zeros((1,), jnp.float32))
         run = jax.jit(lambda s, a: stepper.time_step(spec, params, s, a))
         state, _ = run(sc.state0, action)
-        jax.block_until_ready(state.pos)
+        # device_get, not block_until_ready: on the axon tunnel the FIRST
+        # execution's block returns immediately (measured round 4) -- only a
+        # host fetch reliably waits for it
+        jax.device_get(state.pos)
 
         def once():
             s, _ = run(state, action)
-            jax.block_until_ready(s.pos)
+            jax.device_get(s.pos)
     else:
         T = 2
         dpos = np.zeros((T, 1, 3))
@@ -54,10 +57,10 @@ def main():
             return res.gripper_grad
 
         run = jax.jit(fwd_bwd)
-        jax.block_until_ready(run(actions))
+        jax.device_get(run(actions))
 
         def once():
-            jax.block_until_ready(run(actions))
+            jax.device_get(run(actions))
 
     logdir = "/tmp/jax_trace"
     os.system(f"rm -rf {logdir}")
@@ -80,24 +83,24 @@ def main():
         if "TPU" not in plane.name and "device" not in plane.name.lower():
             continue
         meta = {m_id: m.name for m_id, m in plane.event_metadata.items()}
-        tot = defaultdict(float)
-        cnt = defaultdict(int)
         for line in plane.lines:
             if "step" in line.name.lower():
                 continue
+            tot = defaultdict(float)
+            cnt = defaultdict(int)
             for ev in line.events:
                 name = meta.get(ev.metadata_id, str(ev.metadata_id))
                 tot[name] += ev.duration_ps / 1e9  # ms
                 cnt[name] += 1
-        if not tot:
-            continue
-        print(f"\n=== plane: {plane.name} (lines: "
-              f"{[ln.name for ln in plane.lines]}) ===")
-        items = sorted(tot.items(), key=lambda kv: -kv[1])
-        total = sum(tot.values())
-        print(f"total op time {total:.1f} ms")
-        for name, t in items[:40]:
-            print(f"{t:10.2f} ms  x{cnt[name]:<6} {name[:100]}")
+            if not tot:
+                continue
+            print(f"\n=== plane: {plane.name} / line: {line.name} ===")
+            items = sorted(tot.items(), key=lambda kv: -kv[1])
+            total = sum(tot.values())
+            print(f"total line time {total:.1f} ms "
+                  f"({len(line.events)} events)")
+            for name, t in items[:45]:
+                print(f"{t:10.2f} ms  x{cnt[name]:<6} {name[:110]}")
 
 
 if __name__ == "__main__":

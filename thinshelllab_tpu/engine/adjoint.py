@@ -200,6 +200,8 @@ def backward(
     f_loss_ratio: float = 0.001,
     warm_start: bool = False,
     debug_iters: bool = False,
+    chain_dtype=None,
+    solve_dtype=None,
 ) -> AdjointResult:
     """Run the backward sweep over a simulated trajectory.
 
@@ -217,17 +219,31 @@ def backward(
     (solver.newton_solve) is where the win is (-20% CG iterations).
     debug_iters: also return per-step adjoint-solve iteration counts in
     place of pos_grad0 (diagnostic).
+    chain_dtype / solve_dtype: precision-substitution knobs (default: the
+    spec dtype for both). chain_dtype promotes the backward CHAIN arithmetic
+    -- the dL/dx and dL/dref carries, the plastic a2ax/x2a hinge chains, the
+    damping/friction accumulations -- while solve_dtype controls the Hessian
+    assembly + adjoint linear solve. Used to isolate which f32 stage bounds
+    the plastic-scene gradient error (BASELINE.md round-4 substitution
+    table); the solve converges to the same point either way.
     """
     T = seed_pos_grad.shape[0]
     NV = spec.NV
     d = spec.dtype
+    cd = chain_dtype if chain_dtype is not None else d
+    sd = solve_dtype if solve_dtype is not None else d
     c = spec.cloth
     kb = params.kb[c.hinge_cloth]
-    k_angle = jnp.asarray(c.k_angle, d)[c.hinge_cloth]
-    d_ref_coef = -2.0 * kb * c.hinge_coef  # dtheta_ref (model_fold_offset:1150)
-    unfrozen = (~spec.frozen).astype(d)
+    k_angle = jnp.asarray(c.k_angle, cd)[c.hinge_cloth]
+    d_ref_coef = (-2.0 * kb * c.hinge_coef).astype(cd)  # dtheta_ref (model_fold_offset:1150)
+    unfrozen = (~spec.frozen).astype(cd)
     n_part = max(spec.gripper.n_part, 1)
     zero_params = jax.tree.map(jnp.zeros_like, params)
+
+    def cast_float(tree, dt_):
+        return jax.tree.map(
+            lambda x: x.astype(dt_)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x, tree)
 
     def step_fn(carry, t):
         g1, g2, ar1, proj_flag, proj_dir, pgrad, z_prev = carry
@@ -241,16 +257,17 @@ def backward(
         # step t) ref angle.
         ref_t = buffers["ref_angle"][t - 1]
 
-        pg_t = jnp.clip(seed_pos_grad[t] + g1, -1000.0, 1000.0)
-        ar_t = jnp.clip(seed_ar_grad[t] + ar1, -1000.0, 1000.0)
+        pg_t = jnp.clip(seed_pos_grad[t].astype(cd) + g1, -1000.0, 1000.0)
+        ar_t = jnp.clip(seed_ar_grad[t].astype(cd) + ar1, -1000.0, 1000.0)
 
         contact, proj_flag, proj_dir = _rebuild_contact(
             spec, params, pos_tm1, proj_flag, proj_dir
         )
+        contact_c = cast_float(contact, cd) if cd != d else contact
 
         if friction_loss:  # reference AnalyticGrad(friction_loss=True)
             pg_t = pg_t + static_friction_loss_pos_grad(
-                spec, contact, pos_t, f_loss_ratio
+                spec, contact_c, pos_t.astype(cd), f_loss_ratio
             )
 
         # plastic chain a2ax at (pos_t, ref_t). The yield gate is the same
@@ -262,32 +279,37 @@ def backward(
         # surface (the measured source of the plastic-scene f32 adjoint
         # error, BASELINE.md round-3 table). Identical in exact arithmetic
         # to the reference's recompute (ref_angle_backprop_a2ax:1180-1209).
-        dth, theta = _hinge_grads(spec, pos_t)
+        dth, theta = _hinge_grads(spec, pos_t.astype(cd))
         if "yield_gate" in buffers:
             yielded = buffers["yield_gate"][t]
         else:
-            yielded = jnp.abs(theta - ref_t) > k_angle
+            yielded = jnp.abs(theta - ref_t.astype(cd)) > k_angle
         factor = jnp.where(yielded, 1.0, 0.1) * c.hinge_mask
         contrib = (ar_t * factor)[:, None, None] * dth
         pg_t = pg_t.at[c.hinge_verts].add(contrib)
         ar_next = ar_t * c.hinge_mask  # dL/dref_{t-1} pass-through
 
         # true Hessian at pos_t, solve H z = pg_t
-        groups = elements.all_groups(spec, params, pos_t, ref_t, contact,
-                                     with_hess=True, spd=False)
+        groups = elements.all_groups(
+            spec, params if sd == d else cast_float(params, sd),
+            pos_t.astype(sd), ref_t.astype(sd),
+            contact if sd == d else cast_float(contact, sd),
+            with_hess=True, spd=False)
         # the true Hessian can be indefinite: GMRES/MINRES on the iterative
         # path, warm-started from the previous step's solution
         z, it = solver.solve_adjoint(
-            spec, groups, pg_t,
+            spec, groups, pg_t.astype(sd),
             x0=z_prev if warm_start else None, return_iters=True)
+        z_c = z.astype(cd)
 
         tmp_z_frozen = elements.frozen_column_product(spec, groups, z)
-        x_hat_grad = z * (spec.mass / spec.dt**2)[:, None] * unfrozen
+        x_hat_grad = z_c * (spec.mass / spec.dt**2)[:, None].astype(cd) \
+            * unfrozen
 
-        bp = _contact_energy_backprop(spec, contact, pos_t, z)
+        bp = _contact_energy_backprop(spec, contact_c, pos_t.astype(cd), z_c)
 
         # bending ref chain x2a: dL/dref_{t-1} += -d_ref * (z . dtheta/dx)
-        z_dth = jnp.einsum("hai,hai->h", z[c.hinge_verts], dth)
+        z_dth = jnp.einsum("hai,hai->h", z_c[c.hinge_verts], dth)
         ar_next = ar_next + (-d_ref_coef) * z_dth * c.hinge_mask
 
         gg = _gather_gripper_grad(
@@ -298,7 +320,7 @@ def backward(
             gg = gg * jnp.array([0.0, 0, 1, 0, 0, 0], d)[None, :]
 
         if with_param_grad:
-            z_masked = z * unfrozen
+            z_masked = (z_c * unfrozen).astype(d)
             pg_contrib = _param_residual_vjp(
                 spec, contact, pos_t, ref_t, z_masked, params
             )
@@ -307,18 +329,18 @@ def backward(
         g1_out = g2 + (1.0 + damping_grad) * x_hat_grad + bp
         g2_out = -damping_grad * x_hat_grad
         active = t > skip_steps
-        gg = jnp.where(active, gg, 0.0)
+        gg = jnp.where(active, gg, 0.0).astype(d)
         return (g1_out, g2_out, ar_next, proj_flag, proj_dir, pgrad,
                 z), (gg, it)
 
     init = (
-        jnp.zeros((NV, 3), d),
-        jnp.zeros((NV, 3), d),
-        jnp.zeros_like(seed_ar_grad[0]),
+        jnp.zeros((NV, 3), cd),
+        jnp.zeros((NV, 3), cd),
+        jnp.zeros(seed_ar_grad[0].shape, cd),
         buffers["final_proj_flag"],
         buffers["final_proj_dir"],
         zero_params,
-        jnp.zeros((NV, 3), d),
+        jnp.zeros((NV, 3), sd),
     )
     ts = jnp.arange(T - 1, 0, -1)
     (g1, g2, ar1, _, _, pgrad, _z), (ggs, iters) = jax.lax.scan(

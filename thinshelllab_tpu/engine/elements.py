@@ -695,7 +695,9 @@ def hvp(spec, fused, x):
 
 def diag_blocks(spec, fused):
     """(NV, 3, 3) block diagonal of the assembled Hessian (block-Jacobi)."""
-    md = jnp.asarray(spec.mass)
+    # follow the element-block dtype (the spec's mass array may be stored at
+    # a different precision, e.g. an f64-promoted adjoint solve on f32 specs)
+    md = jnp.asarray(spec.mass, fused["H"].dtype)
     unf = jnp.concatenate(
         [jnp.asarray(~spec.frozen, md.dtype), jnp.zeros((1, 3), md.dtype)]
     )
