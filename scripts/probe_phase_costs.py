@@ -158,6 +158,66 @@ def main():
         return F + eps * z
     bench_phase("adjoint solve (GMRES/BCR)", f_adj, F0, max(2, reps // 8))
 
+    it_adj = jax.jit(lambda F: solver.solve_adjoint(
+        spec, groups_t, F, return_iters=True)[1])(F0)
+    print(f"  adjoint GMRES iterations: {int(jax.device_get(it_adj))}")
+
+    # -- BCR dense-root cutoff sweep (TSL_BCR_CUTOFF read at trace time)
+    for c in (8, 12, 18):
+        os.environ["TSL_BCR_CUTOFF"] = str(c)
+        bench_phase(f"adjoint solve (bcr cutoff={c})", f_adj, F0,
+                    max(2, reps // 8))
+    os.environ.pop("TSL_BCR_CUTOFF", None)
+
+    # -- prepare_solver_state sub-phases (scalar-carried data dependence so
+    # the fori body is not hoisted as loop-invariant)
+    H0 = groups0["H"]
+    idx0 = groups0["idx"]
+    ns = elements.static_block_count(spec)
+    zscal = jnp.zeros((), jnp.float32)
+
+    def f_spd(s):
+        g = elements.all_groups(spec, params, pos + s, ref, contact,
+                                with_hess=True, spd=True)
+        return s + eps * g["H"][0, 0, 0, 0, 0]
+    bench_phase("hessian groups (spd=True)", f_spd, zscal, reps)
+
+    def f_dia(s):
+        dia = elements.assemble_dia(spec, {"idx": idx0, "H": H0 + s},
+                                    jnp.float32)
+        return s + eps * dia[0, 0, 0, 0]
+    bench_phase("  assemble_dia", f_dia, zscal, reps)
+
+    if spec.hvp_slots is not None and spec.hvp_slots.D > 0:
+        def f_nbr(s):
+            nbr = elements.gather_neighbor_blocks(
+                spec, {"idx": idx0, "H": H0 + s}, jnp.float32)
+            return s + eps * jax.tree.leaves(nbr)[0].ravel()[0]
+        bench_phase("  gather_neighbor_blocks", f_nbr, zscal, reps)
+
+    dia0 = jax.jit(lambda: elements.assemble_dia(
+        spec, groups0, jnp.float32))()
+    nbr0 = None
+    if spec.hvp_slots is not None and spec.hvp_slots.D > 0:
+        nbr0 = jax.jit(lambda: elements.gather_neighbor_blocks(
+            spec, groups0, jnp.float32))()
+    jax.block_until_ready(dia0)
+
+    def f_diag(s):
+        D, Dc = elements.diag_blocks_dia(
+            spec, {"idx": idx0, "H": H0 + s}, dia0 + s, nbr0,
+            return_contact=True)
+        return s + eps * D[0, 0, 0]
+    bench_phase("  diag_blocks_dia", f_diag, zscal, reps)
+
+    def f_split(s):
+        sp = elements.build_contact_split(spec, idx0[ns:], H0[ns:] + s,
+                                          jnp.float32)
+        lv = jax.tree.leaves(sp)
+        dep = lv[0].ravel()[0].astype(jnp.float32) if lv else 0.0
+        return s + eps * dep
+    bench_phase("  build_contact_split", f_split, zscal, reps)
+
 
 if __name__ == "__main__":
     main()

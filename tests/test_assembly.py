@@ -427,3 +427,47 @@ def test_force_groups_from_soups_bit_exact():
     for k in fresh:
         np.testing.assert_array_equal(np.asarray(fresh[k]),
                                       np.asarray(derived[k]), err_msg=k)
+
+
+@pytest.mark.parametrize("make,kw", [
+    (folding.make, dict(table_n=4)),
+    (bench_scene.make, dict(cloth_N=12, table_n=4)),
+])
+def test_linesearch_ef_matches_energy_and_force(make, kw):
+    """linesearch_ef_fn (fused value_and_grad line-search eval, used by the
+    Newton micro loop) must reproduce BOTH halves bit-exactly at every
+    alpha: E equals linesearch_energy_fn's E_of(alpha), and the fused
+    gradient equals force_groups_from_soups on the affine-updated soups."""
+    sc = make(dtype=jnp.float64, solver="cg", **kw)
+    spec, params = sc.spec, sc.params
+    state = sc.state0
+    rng = np.random.default_rng(7)
+    pos = jnp.asarray(state.pos) + 1e-4 * rng.normal(size=state.pos.shape)
+    vel = jnp.asarray(rng.normal(size=state.pos.shape) * 1e-3)
+    prev = jnp.asarray(state.pos)
+    ref = jnp.asarray(state.ref_angle)
+    contact, _, _ = stepper.build_contacts(
+        spec, params, pos, pos, jnp.asarray(state.proj_flag),
+        jnp.asarray(state.proj_dir))
+    p = jnp.asarray(rng.normal(size=pos.shape) * 1e-3)
+
+    soups = elements.gather_soups(spec, contact, pos)
+    dsoups = elements.gather_soups(spec, contact, p, direction=True)
+    E_of = elements.linesearch_energy_fn(
+        spec, params, pos, p, prev, vel, ref, contact, soups=soups,
+        dsoups=dsoups)
+    EF_of = elements.linesearch_ef_fn(
+        spec, params, pos, p, prev, vel, ref, contact, soups, dsoups)
+    for alpha in (1.0, 0.5, 0.125, 0.0):
+        a = jnp.asarray(alpha, pos.dtype)
+        E_want = E_of(a)
+        soups_a = jax.tree.map(lambda xs, ds: xs - a * ds, soups, dsoups)
+        fg_want = elements.force_groups_from_soups(spec, params, soups_a,
+                                                   ref, contact)
+        E_got, g_got = EF_of(a)
+        np.testing.assert_array_equal(np.asarray(E_got),
+                                      np.asarray(E_want),
+                                      err_msg=f"E alpha={alpha}")
+        np.testing.assert_array_equal(np.asarray(g_got),
+                                      np.asarray(fg_want["g"]),
+                                      err_msg=f"g alpha={alpha}")

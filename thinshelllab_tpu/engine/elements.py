@@ -426,6 +426,97 @@ def linesearch_energy_fn(spec, params, pos, p, prev_pos, vel, ref_angle,
     return E_of
 
 
+def linesearch_ef_fn(spec, params, pos, p, prev_pos, vel, ref_angle,
+                     contact, soups, dsoups):
+    """Fused line-search evaluation: EF_of(alpha) -> (E, g_fused) with E the
+    line-search energy and g_fused the (E4, 4, 3) fused force-group gradient
+    at pos - alpha p, both from the pre-gathered soups.
+
+    Measured on-chip (scripts/probe_phase_costs.py): value_and_grad of the
+    per-element energies costs the same as the gradient alone (XLA shares
+    the primal), so the accepted trial's force group is FREE -- the micro
+    Newton loop then skips its separate residual force pass entirely (the
+    next iteration's residual is assemble_residual of the accepted g_fused).
+
+    Bit-exactness contract (tests/test_assembly.py):
+      * E equals linesearch_energy_fn's E_of(alpha) term by term (same
+        element functions, same masks, same reduction order);
+      * g_fused equals force_groups_from_soups(soups - alpha*dsoups)["g"]
+        (same vmapped jax.grad computations, fused in the same family
+        order as fuse_groups).
+    """
+    c = spec.cloth
+    kl, ka = _face_params(spec, params)
+    xm, dm = soups["xm"], dsoups["xm"]
+    xb, db = soups["xb"], dsoups["xb"]
+    kb = params.kb[c.hinge_cloth]
+    sel = jnp.asarray(c.hinge_sel, pos.dtype)
+    mb = c.hinge_mask.astype(pos.dtype)
+
+    S = _S_TET.astype(pos.dtype)
+    tet_parts = []
+    for key, soup, mu_arr, lam_arr, efn in (
+        ("xn", spec.neo, params.neo_mu, params.neo_lam, en.neo_energy),
+        ("xt", spec.tact, params.tact_mu, params.tact_lam,
+         en.tactile_energy),
+    ):
+        if soup.tets.shape[0]:
+            tet_parts.append(
+                (soup, mu_arr[soup.group], lam_arr[soup.group], efn,
+                 soups[key], dsoups[key])
+            )
+
+    xc, dc = soups["xc"], dsoups["xc"]
+    mC = contact.active.astype(pos.dtype)
+    SR = _S_REL.astype(pos.dtype)
+
+    def EF_of(alpha):
+        gs = []
+        e = en.inertia_external_energy(
+            pos - alpha * p, prev_pos, vel, spec.mass, spec.gravity,
+            spec.ext_force, spec.dt,
+        )
+        em, gm = jax.vmap(jax.value_and_grad(en.membrane_energy))(
+            xm - alpha * dm, c.l0, c.rest_area, kl, ka)
+        e = e + jnp.sum(em)
+        gs.append(gm)
+        eb, gb = jax.vmap(jax.value_and_grad(en.bending_energy))(
+            xb - alpha * db, sel, ref_angle, c.hinge_coef, kb)
+        e = e + jnp.sum(eb * mb)
+        gs.append(gb * mb[:, None, None])
+        for soup, mu, lam, efn, xt, dt_ in tet_parts:
+            D = jnp.einsum("aj,tai->tij", S, xt - alpha * dt_)
+            et, G = jax.vmap(jax.value_and_grad(efn))(D, soup.B, soup.W,
+                                                      mu, lam)
+            e = e + jnp.sum(et)
+            gs.append(jnp.einsum("tij,aj->tai", G, S))
+        xc_ = xc - alpha * dc
+        R = jnp.einsum("ar,cai->cri", SR, xc_)
+        eC, Gb = jax.vmap(jax.value_and_grad(
+            lambda Rm: en.barrier_energy(Rm, spec.k_contact,
+                                         spec.eps_contact)))(R)
+        e = e + jnp.sum(eC * mC)
+        g_bar = jnp.einsum("cri,ar->cai", Gb, SR) * mC[:, None, None]
+        # friction: shared slip helper feeds both the energy term and the
+        # force rows (identical to linesearch_energy_fn / friction_eval)
+        u, r = friction_slip(spec, contact, xc_)
+        eF = contact.k * en.f0_smooth(r, spec.eps_v, spec.dt)
+        e = e + jnp.sum(eF * mC)
+        g_fr = _friction_force_rows(spec, contact, xc_, u, r)
+        gs.append(g_bar + g_fr)
+        # fuse in the same family order/padding as fuse_groups
+        fused = []
+        for g in gs:
+            if g.shape[1] < 4:
+                g = jnp.concatenate(
+                    [g, jnp.zeros((g.shape[0], 4 - g.shape[1], 3),
+                                  g.dtype)], axis=1)
+            fused.append(g)
+        return e, jnp.concatenate(fused)
+
+    return EF_of
+
+
 def gather_soups(spec, contact, v, direction=False):
     """Gather every element family's stencil values from a global (NV, 3)
     vector, ONCE. Soups are affine in v -- gathering commutes with the

@@ -270,7 +270,14 @@ def factor_tridiag(D, U, cutoff=4):
         Dnew = D[0::2] - term_r
         Dnew = Dnew.at[1:].add(-term_l[:-1])
         Unew = -jnp.einsum("kab,kbc->kac", G1, U_odd)
-        levels.append((Dodd_inv, G1, G2, U_even, U_odd, padded))
+        # pre-stack the apply-time operator pairs ONCE here (constant across
+        # applies): the solve's forward correction uses [G1; G2] and the
+        # back-substitution uses [U_even^T; U_odd[:-1]], each as a single
+        # batched matvec dispatch inside the Krylov iteration
+        G12 = jnp.concatenate([G1, G2], axis=0)
+        UUT = jnp.concatenate(
+            [jnp.swapaxes(U_even, -1, -2), U_odd[:-1]], axis=0)
+        levels.append((Dodd_inv, G12, UUT, padded))
         D, U, n = Dnew, Unew, n2
     # dense root: assemble the remaining n-block tridiagonal and invert once
     B = jnp.zeros((n, n, m, m), dt_)
@@ -285,30 +292,40 @@ def factor_tridiag(D, U, cutoff=4):
 
 
 def solve_tridiag(fac, b):
-    """Solve T x = b given factor_tridiag output. b: (nb, m)."""
+    """Solve T x = b given factor_tridiag output. b: (nb, m).
+
+    The apply runs INSIDE the adjoint GMRES iteration, so it is pure
+    critical-path latency: each level's pair of batched matvecs (G1 b_odd,
+    G2 b_odd / U_even^T x, U_odd x) is STACKED along the batch dim into one
+    einsum dispatch -- bit-identical values (the same per-k matvecs, just
+    batched together), ~half the sequential op count per level."""
     levels, root_inv = fac
     stack = []
-    for (Dodd_inv, G1, G2, U_even, U_odd, padded) in levels:
+    for (Dodd_inv, G12, UUT, padded) in levels:
         if padded:
             b = jnp.concatenate([b, jnp.zeros((1, b.shape[1]), b.dtype)])
         b_odd = b[1::2]
-        b_new = b[0::2] - jnp.einsum("kab,kb->ka", G1, b_odd)
-        b_new = b_new.at[1:].add(
-            -jnp.einsum("kab,kb->ka", G2, b_odd)[:-1]
-        )
+        k = b_odd.shape[0]
+        # one batched matvec for both correction terms (G12 = [G1; G2])
+        t = jnp.einsum("kab,kb->ka", G12,
+                       jnp.concatenate([b_odd, b_odd], axis=0))
+        b_new = b[0::2] - t[:k]
+        b_new = b_new.at[1:].add(-t[k:][:-1])
         stack.append(b_odd)
         b = b_new
     m = b.shape[1]
     n_root = root_inv.shape[0] // m
     x = (root_inv @ b[:n_root].reshape(-1)).reshape(n_root, m)
-    for (Dodd_inv, G1, G2, U_even, U_odd, padded) in reversed(levels):
+    for (Dodd_inv, G12, UUT, padded) in reversed(levels):
         b_odd = stack.pop()
         # x_odd[t] = Dinv_{2t+1} (b_odd[t] - U_{2t}^T x_{2t}
         #                                   - U_{2t+1} x_{2t+2})
-        rhs = b_odd - jnp.einsum("kba,kb->ka", U_even, x)
-        rhs = rhs.at[:-1].add(
-            -jnp.einsum("kab,kb->ka", U_odd[:-1], x[1:])
-        )
+        # with UUT = [U_even^T; U_odd[:-1]] applied in one stacked dispatch
+        k = b_odd.shape[0]
+        xx = jnp.concatenate([x, x[1:]], axis=0)
+        t = jnp.einsum("kab,kb->ka", UUT, xx)
+        rhs = b_odd - t[:k]
+        rhs = rhs.at[:-1].add(-t[k:])
         x_odd = jnp.einsum("kab,kb->ka", Dodd_inv, rhs)
         n = x.shape[0] + x_odd.shape[0]
         xi = jnp.zeros((n, x.shape[1]), x.dtype)
@@ -326,7 +343,15 @@ class GridPreconditioner:
     solve); apply() is a fixed symmetric positive map, valid for both PCG
     and MINRES."""
 
-    def __init__(self, spec, gp, dia, Dinv_rest, Dc=None):
+    def __init__(self, spec, gp, dia, Dinv_rest, Dc=None, cutoff=None):
+        if cutoff is None:
+            import os
+
+            # root-size sweep knob (scripts/probe_phase_costs.py): the apply
+            # inside the Krylov loop is a LATENCY-bound chain of ~3 einsums
+            # per BCR level; a larger dense root trades (cheap, HBM-bound)
+            # root-matvec bytes for fewer sequential levels
+            cutoff = int(os.environ.get("TSL_BCR_CUTOFF", "4"))
         self.spec = spec
         self.gp = gp
         self.Dinv_rest = Dinv_rest
@@ -335,7 +360,7 @@ class GridPreconditioner:
         for entry in gp:
             N, M, v_off, _ = entry
             D, U = extract_cloth_tridiag(spec, entry, dia, Dc)
-            self.facs.append(factor_tridiag(D, U))
+            self.facs.append(factor_tridiag(D, U, cutoff=cutoff))
             self.mask[v_off : v_off + (N + 1) * (M + 1)] = True
         self.mask_j = jnp.asarray(self.mask)
 

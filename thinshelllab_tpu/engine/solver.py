@@ -670,56 +670,89 @@ def newton_solve(spec: SceneSpec, params, pos0, prev_pos, vel, ref_angle, contac
         # false branch, and pass-through of the ~30 MB operator state
         # measured ~7 ms x 8/step at bench size (trace `conditional.28`).
         def cond2(carry):
-            pos, E, it, delta, p_prev, soups = carry
+            pos, E, F, it, delta, p_prev, soups = carry
             return (it < spec.max_newton_iter) & (delta >= spec.newton_tol)
 
+        def ls_ef(pos, p, E0, soups, dsoups):
+            """Backtracking line search on the FUSED energy+force
+            evaluation (elements.linesearch_ef_fn): each trial costs the
+            same as the old energy-only trial's gradient pass, and the
+            accepted trial's force group is the next iteration's residual
+            -- the separate per-iteration residual force pass is gone.
+            Same alpha sequence and energies as the energy-only search."""
+            EF = elements.linesearch_ef_fn(
+                spec, params, pos, p, prev_pos, vel, ref_angle, contact,
+                soups, dsoups)
+
+            def ls_cond(c):
+                alpha, success, _E, _g = c
+                return (~success) & (alpha > spec.linesearch_min_alpha)
+
+            def ls_body(c):
+                alpha, _, _, _ = c
+                E, g = EF(alpha)
+                success = E < E0
+                return jnp.where(success, alpha, alpha * 0.5), success, E, g
+
+            E_init, g_init = EF(jnp.asarray(1.0, pos.dtype))
+            alpha, success, E_ls, g_ls = jax.lax.while_loop(
+                ls_cond, ls_body,
+                (jnp.where(E_init < E0, 1.0, 0.5).astype(pos.dtype),
+                 E_init < E0, E_init, g_init),
+            )
+            applied = jnp.where(success, alpha, alpha * 2.0)
+            return pos - applied * p, E_ls, g_ls, applied
+
         def body2(carry):
-            pos, E0, it, delta, p_prev, soups = carry
+            pos, E0, F, it, delta, p_prev, soups = carry
             op = op_of(pos)
 
             # fori_loop (not a Python unroll) over the guarded micro
-            # iterations: ONE copy of the residual+solve+line-search graph
-            # in the HLO regardless of `refresh` (the unrolled form nearly
+            # iterations: ONE copy of the solve+line-search graph in the
+            # HLO regardless of `refresh` (the unrolled form nearly
             # doubled whole-program compile time at refresh=2); `op` rides
             # along as a loop-invariant carry (aliased, not copied)
             def micro(_, c):
-                pos, E0, it, delta, p_prev, soups = c
-                # ONE gather pass per micro iteration (the new direction
-                # p): the residual comes from the carried position soups,
-                # the line search reuses both, and the accepted position's
-                # soups are the affine update soups - applied*dsoups
-                # (bit-identical to a fresh gather -- see
-                # elements.gather_soups)
-                fg = elements.force_groups_from_soups(
-                    spec, params, soups, ref_angle, contact)
-                F = elements.assemble_residual(spec, fg, pos, prev_pos, vel)
+                pos, E0, F, it, delta, p_prev, soups = c
                 # warm start from the previous Newton direction (optimally
                 # scaled, never worse than cold -- _warm_split)
                 p = solve_cg_prepared(spec, op, F, x0=p_prev)
                 d_new = jnp.max(jnp.abs(p)) / spec.dt
+                # ONE gather pass per micro iteration (the new direction
+                # p): the line search reuses the carried position soups,
+                # and the accepted position's soups are the affine update
+                # soups - applied*dsoups (bit-identical to a fresh gather
+                # -- see elements.gather_soups)
                 dsoups = elements.gather_soups(spec, contact, p,
                                                direction=True)
-                new_pos, E_new, applied = line_search(pos, p, E0, soups,
-                                                      dsoups)
+                new_pos, E_new, g_new, applied = ls_ef(pos, p, E0, soups,
+                                                       dsoups)
+                F_new = elements.assemble_residual(
+                    spec, {"idx": op["idx"], "g": g_new}, new_pos,
+                    prev_pos, vel)
                 cont = (it < spec.max_newton_iter) & (delta >= spec.newton_tol)
                 new_soups = jax.tree.map(
                     lambda xs, ds: jnp.where(cont, xs - applied * ds, xs),
                     soups, dsoups)
                 pos = jnp.where(cont, new_pos, pos)
                 E0 = jnp.where(cont, E_new, E0)
+                F = jnp.where(cont, F_new, F)
                 delta = jnp.where(cont, d_new, delta)
                 it = it + cont.astype(it.dtype)
-                return pos, E0, it, delta, p, new_soups
+                return pos, E0, F, it, delta, p, new_soups
 
             return jax.lax.fori_loop(0, refresh, micro,
-                                     (pos, E0, it, delta, p_prev, soups),
+                                     (pos, E0, F, it, delta, p_prev, soups),
                                      unroll=False)
 
-        pos, _E, it, delta, _p, _s = jax.lax.while_loop(
+        soups0 = elements.gather_soups(spec, contact, start)
+        fg0 = elements.force_groups_from_soups(spec, params, soups0,
+                                               ref_angle, contact)
+        F0 = elements.assemble_residual(spec, fg0, start, prev_pos, vel)
+        pos, _E, _F, it, delta, _p, _s = jax.lax.while_loop(
             cond2, body2,
-            (start, energy(start), jnp.asarray(0, jnp.int32),
-             jnp.asarray(1e5, pos0.dtype), jnp.zeros_like(start),
-             elements.gather_soups(spec, contact, start)),
+            (start, energy(start), F0, jnp.asarray(0, jnp.int32),
+             jnp.asarray(1e5, pos0.dtype), jnp.zeros_like(start), soups0),
         )
         return pos
 
