@@ -141,3 +141,38 @@ def test_project_psd_2x2():
     P2 = np.asarray(project_psd_2x2(jnp.asarray(A)))
     Pe = np.asarray(project_psd(jnp.asarray(A)))
     np.testing.assert_allclose(P2, Pe, atol=1e-10)
+
+
+def test_bending_energy_batch_matches_vmap_bitexact():
+    """bending_energy_batch (the leading-axis-split hot-path form) computes
+    the same per-hinge arithmetic as vmap(bending_energy); agreement is at
+    the ULP level (fusion order differs between the two lowerings)."""
+    rng = np.random.default_rng(3)
+    NH = 257
+    x = jnp.asarray(rng.normal(size=(NH, 4, 3)))
+    def valid_sel():
+        # non-degenerate on generic points: xa != x3 (ja != 3), xb != xa,
+        # edge endpoints distinct
+        ja, jb = rng.permutation(3)[:2]
+        ea, eb = rng.permutation(4)[:2]
+        return en.stencil_to_sel(ja, jb, ea, eb)
+
+    sel = jnp.asarray(np.stack([valid_sel() for _ in range(NH)]))
+    ref = jnp.asarray(rng.normal(size=NH) * 0.1)
+    coef = jnp.asarray(rng.uniform(0.5, 2.0, NH))
+    kb = jnp.asarray(rng.uniform(0.5, 2.0, NH))
+    e_vmap = jax.jit(jax.vmap(en.bending_energy))(x, sel, ref, coef, kb)
+    e_batch = jax.jit(en.bending_energy_batch)(x, sel, ref, coef, kb)
+    # ULP-level agreement (measured max rel diff ~9e-16: the two forms fuse
+    # the same per-hinge arithmetic slightly differently). Cross-path
+    # BIT-exactness inside the engine holds because every force/energy path
+    # shares bending_soup_eg (tests/test_assembly.py).
+    np.testing.assert_allclose(np.asarray(e_batch), np.asarray(e_vmap),
+                               rtol=5e-15, atol=0)
+    g_vmap = jax.jit(jax.vmap(jax.grad(en.bending_energy)))(
+        x, sel, ref, coef, kb)
+    g_batch = jax.jit(jax.grad(
+        lambda xx: jnp.sum(en.bending_energy_batch(xx, sel, ref, coef, kb))
+    ))(x)
+    np.testing.assert_allclose(np.asarray(g_batch), np.asarray(g_vmap),
+                               rtol=1e-12, atol=1e-12)

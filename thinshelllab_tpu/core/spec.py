@@ -229,6 +229,12 @@ class SceneSpec:
     spd_method: str = static_field(default="eigh")  # 'eigh' | 'shift'
     cg_tol: float = static_field(default=1e-10)
     cg_max_iter: int = static_field(default=400)
+    # forward-Newton CG tolerance; None -> cg_tol. Separated from cg_tol so
+    # the forward solve can run at an inexact-Newton tolerance (the line
+    # search guards energy decrease and Newton's |p| termination is
+    # unchanged) while the ADJOINT solves (solve_adjoint: GMRES/MINRES)
+    # keep the tight tolerance that pins gradient accuracy.
+    fwd_tol: float | None = static_field(default=None)
     # smoothed block-Jacobi preconditioner: k extra damped-Jacobi sweeps of
     # the CHEAP operator (DIA + leftover + inertia + contact block diagonal)
     # per CG application; 0 = plain block-Jacobi

@@ -166,10 +166,9 @@ def bending_eval(spec, params, pos, ref_angle, with_hess: bool, spd: bool):
         return en.bending_energy(xh, sel_, ref, coef, kb_)
 
     g_fn = jax.grad(e_fn)
-    E = jax.vmap(e_fn)(x, sel, ref_angle, c.hinge_coef, kb)
-    g = jax.vmap(g_fn)(x, sel, ref_angle, c.hinge_coef, kb)
-    E = jnp.sum(E * m)
-    g = g * m[:, None, None]
+    # batched energy+force (no strided per-column soup slices; bit-identical
+    # to the vmapped per-hinge form -- see bending_soup_eg)
+    E, g = bending_soup_eg(spec, params, x, ref_angle)
     out = {"idx": c.hinge_verts, "g": g}
     if with_hess:
         # NOTE (measured, round 2): a hand-derived closed-form d2theta
@@ -348,6 +347,39 @@ def total_energy(spec, params, pos, prev_pos, vel, ref_angle, contact):
     return e + e_m + e_b + e_n + e_t + e_c + e_f
 
 
+def bending_soup_eg(spec, params, xb, ref_angle, want_grad=True):
+    """Bending energy sum + masked force group from the gathered hinge soup
+    (NH,4,3), via the batched hinge evaluation (en.bending_energy_batch --
+    no strided per-column slices). The gradient comes from jax.vjp with the
+    0/1 hinge mask as the cotangent: bit-identical to
+    vmap(grad(bending_energy)) * mask because scaling a backward seed by
+    exactly 0.0 or 1.0 is exact."""
+    import os
+
+    c = spec.cloth
+    kb = params.kb[c.hinge_cloth]
+    sel = jnp.asarray(c.hinge_sel, xb.dtype)
+    m = c.hinge_mask.astype(xb.dtype)
+
+    if os.environ.get("TSL_BEND_BATCH", "1") == "0":  # A/B knob
+        eb = jax.vmap(en.bending_energy)(xb, sel, ref_angle, c.hinge_coef,
+                                         kb)
+        if not want_grad:
+            return jnp.sum(eb * m), None
+        gb = jax.vmap(jax.grad(en.bending_energy))(xb, sel, ref_angle,
+                                                   c.hinge_coef, kb)
+        return jnp.sum(eb * m), gb * m[:, None, None]
+
+    def f(xx):
+        return en.bending_energy_batch(xx, sel, ref_angle, c.hinge_coef, kb)
+
+    if not want_grad:
+        return jnp.sum(f(xb) * m), None
+    eb, vjp = jax.vjp(f, xb)
+    (gb,) = vjp(m)
+    return jnp.sum(eb * m), gb
+
+
 def linesearch_energy_fn(spec, params, pos, p, prev_pos, vel, ref_angle,
                          contact, soups=None, dsoups=None):
     """Energy along the search line, E(alpha) = total_energy(pos - alpha p),
@@ -405,8 +437,8 @@ def linesearch_energy_fn(spec, params, pos, p, prev_pos, vel, ref_angle,
             jax.vmap(en.membrane_energy)(xm - alpha * dm, c.l0, c.rest_area,
                                          kl, ka)
         )
-        eb = jax.vmap(en.bending_energy)(xb - alpha * db, sel, ref_angle,
-                                         c.hinge_coef, kb)
+        eb = en.bending_energy_batch(xb - alpha * db, sel, ref_angle,
+                                     c.hinge_coef, kb)
         e = e + jnp.sum(eb * mb)
         for soup, mu, lam, efn, xt, dt_ in tet_parts:
             D = jnp.einsum("aj,tai->tij", S, xt - alpha * dt_)
@@ -449,9 +481,6 @@ def linesearch_ef_fn(spec, params, pos, p, prev_pos, vel, ref_angle,
     kl, ka = _face_params(spec, params)
     xm, dm = soups["xm"], dsoups["xm"]
     xb, db = soups["xb"], dsoups["xb"]
-    kb = params.kb[c.hinge_cloth]
-    sel = jnp.asarray(c.hinge_sel, pos.dtype)
-    mb = c.hinge_mask.astype(pos.dtype)
 
     S = _S_TET.astype(pos.dtype)
     tet_parts = []
@@ -480,10 +509,9 @@ def linesearch_ef_fn(spec, params, pos, p, prev_pos, vel, ref_angle,
             xm - alpha * dm, c.l0, c.rest_area, kl, ka)
         e = e + jnp.sum(em)
         gs.append(gm)
-        eb, gb = jax.vmap(jax.value_and_grad(en.bending_energy))(
-            xb - alpha * db, sel, ref_angle, c.hinge_coef, kb)
-        e = e + jnp.sum(eb * mb)
-        gs.append(gb * mb[:, None, None])
+        e_b, gb = bending_soup_eg(spec, params, xb - alpha * db, ref_angle)
+        e = e + e_b
+        gs.append(gb)
         for soup, mu, lam, efn, xt, dt_ in tet_parts:
             D = jnp.einsum("aj,tai->tij", S, xt - alpha * dt_)
             et, G = jax.vmap(jax.value_and_grad(efn))(D, soup.B, soup.W,
@@ -568,12 +596,8 @@ def force_groups_from_soups(spec, params, soups, ref_angle, contact):
         soups["xm"], c.l0, c.rest_area, kl, ka)
     groups.append({"idx": c.f2v, "g": gm})
 
-    kb = params.kb[c.hinge_cloth]
-    sel = jnp.asarray(c.hinge_sel, soups["xb"].dtype)
-    m = c.hinge_mask.astype(soups["xb"].dtype)
-    gb = jax.vmap(jax.grad(en.bending_energy))(
-        soups["xb"], sel, ref_angle, c.hinge_coef, kb)
-    groups.append({"idx": c.hinge_verts, "g": gb * m[:, None, None]})
+    _, gb = bending_soup_eg(spec, params, soups["xb"], ref_angle)
+    groups.append({"idx": c.hinge_verts, "g": gb})
 
     S = _S_TET.astype(soups["xm"].dtype)
     for key, soup, mu_arr, lam_arr, efn in (

@@ -185,7 +185,8 @@ def solve_cg_prepared(spec: SceneSpec, st, F, return_iters=False, x0=None):
             return jnp.einsum("nij,nj->ni", Dinv, r)
 
     bnorm = jnp.linalg.norm(F)
-    tol2 = (spec.cg_tol * bnorm) ** 2 + jnp.finfo(jnp.result_type(bnorm)).tiny
+    fwd_tol = spec.cg_tol if spec.fwd_tol is None else spec.fwd_tol
+    tol2 = (fwd_tol * bnorm) ** 2 + jnp.finfo(jnp.result_type(bnorm)).tiny
     if x0 is not None:
         base, b = _warm_split(A, F, x0)
     else:

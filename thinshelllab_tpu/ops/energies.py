@@ -92,6 +92,38 @@ def bending_energy(x, sel, ref_angle, coef, kb):
     return kb * (theta - ref_angle) ** 2 * coef
 
 
+def bending_energy_batch(x, sel, ref_angle, coef, kb):
+    """Per-hinge bending energies over the whole soup at once: x (NH,4,3),
+    sel (NH,4,4) -> (NH,).
+
+    Same arithmetic as vmap(bending_energy) (same per-hinge operations and
+    reduction orders, so the values are bit-identical -- asserted by
+    tests/test_assembly.py), but the 8 geometry rows (the 4 stencil
+    vertices + the 4 sel-selected rows) come out of ONE einsum stacked
+    along a LEADING axis. The vmapped form instead slices x[:, k] -- a
+    strided mid-dim read of the (NH,4,3) soup that XLA materializes as
+    (NH,1,3) copy ops: ~17 ms/step of pure layout traffic at bench size in
+    the round-4 device trace (the micro-Newton loop evaluates this 8-16
+    times per step). Extracting the stencil vertices through one-hot rows
+    of the same einsum is exact (multiplication by 0/1 and adding zeros
+    are exact in floats)."""
+    eye = jnp.broadcast_to(jnp.eye(4, dtype=x.dtype), sel.shape)
+    sel8 = jnp.concatenate([eye, sel], axis=1)  # (NH, 8, 4)
+    rows = jnp.einsum("hrk,hki->rhi", sel8, x)  # (8, NH, 3): leading split
+    x0, x1, x2, x3, xa, xb, xea, xeb = rows
+
+    def _hat(v):
+        return v / jnp.sqrt(jnp.sum(v * v, axis=-1, keepdims=True))
+
+    n1 = _hat(jnp.cross(x1 - x0, x2 - x1))
+    n2 = _hat(jnp.cross(xa - x3, xb - xa))
+    ehat = _hat(xeb - xea)
+    theta = jnp.arctan2(
+        jnp.sum(jnp.cross(n1, n2) * ehat, axis=-1), jnp.sum(n1 * n2, axis=-1)
+    )
+    return kb * (theta - ref_angle) ** 2 * coef
+
+
 # --------------------------------------------------------------------------
 # Volumetric elastics (per tet, relative coords D: (3,3) columns x_i - x_3)
 # --------------------------------------------------------------------------

@@ -13,7 +13,7 @@ from . import base, cloth_init
 
 
 def make(cloth_N=70, dtype=jnp.float32, solver="cg", max_newton_iter=8,
-         table_n=12, cg_max_iter=200, cg_tol=1e-6,
+         table_n=12, cg_max_iter=200, cg_tol=1e-6, fwd_tol=None,
          hess_refresh=1, spmv="auto", grid_h=3e-3) -> base.TaskScene:
     N = M = cloth_N
     size = 0.1
@@ -55,7 +55,8 @@ def make(cloth_N=70, dtype=jnp.float32, solver="cg", max_newton_iter=8,
     b.set_gripper("single", [pad], [0], [0], np.array([[0.0, 0.0, 0.0085]]))
 
     spec, state0, params = b.build()
-    spec = spec.replace(cg_max_iter=cg_max_iter, cg_tol=cg_tol, spd_method="shift")
+    spec = spec.replace(cg_max_iter=cg_max_iter, cg_tol=cg_tol,
+                        fwd_tol=fwd_tol, spd_method="shift")
 
     cloth_nv = (N + 1) * (M + 1)
 
