@@ -46,6 +46,11 @@ def _build(scene, dtype_str):
         T = 8
     else:
         raise SystemExit(f"unknown scene {scene}")
+    # A/B knob: loosened adjoint Krylov tolerance on the f32 leg only (the
+    # f64 oracle keeps the tight default)
+    adj_tol = os.environ.get("GRAD_ACC_ADJ_TOL")
+    if adj_tol and dtype_str == "f32":
+        sc.spec = sc.spec.replace(adj_tol=float(adj_tol))
     return sc, T
 
 

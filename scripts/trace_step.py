@@ -23,9 +23,10 @@ def main():
     from thinshelllab_tpu.engine import adjoint, stepper
     from thinshelllab_tpu.scenes import bench_scene
 
-    refresh = int(os.environ.get("BENCH_HESS_REFRESH", "2"))
+    refresh = int(os.environ.get("BENCH_HESS_REFRESH", "4"))
+    fwd_tol = float(os.environ.get("BENCH_CG_TOL", "1e-3"))
     sc = bench_scene.make(cloth_N=cloth_N, dtype=jnp.float32,
-                          hess_refresh=refresh)
+                          hess_refresh=refresh, fwd_tol=fwd_tol)
     spec, params = sc.spec, sc.params
 
     if mode == "fwd":

@@ -235,6 +235,13 @@ class SceneSpec:
     # unchanged) while the ADJOINT solves (solve_adjoint: GMRES/MINRES)
     # keep the tight tolerance that pins gradient accuracy.
     fwd_tol: float | None = static_field(default=None)
+    # adjoint Krylov (GMRES/MINRES) tolerance; None -> cg_tol. The f32
+    # adjoint solves hit a measured residual floor ~7e-4 (BASELINE.md), so
+    # a tolerance below the floor only burns stall-detection iterations;
+    # setting adj_tol near the floor exits as soon as the attainable
+    # residual is reached. Gradient-accuracy impact measured by
+    # scripts/grad_accuracy.py before changing any default.
+    adj_tol: float | None = static_field(default=None)
     # smoothed block-Jacobi preconditioner: k extra damped-Jacobi sweeps of
     # the CHEAP operator (DIA + leftover + inertia + contact block diagonal)
     # per CG application; 0 = plain block-Jacobi

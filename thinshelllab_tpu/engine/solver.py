@@ -315,17 +315,18 @@ def solve_minres(spec: SceneSpec, groups, F, return_iters=False, x0=None):
         def M(r):
             return jnp.einsum("nij,nj->ni", Dinv, r)
 
+    adj_tol = spec.cg_tol if spec.adj_tol is None else spec.adj_tol
     b = F
     y0 = M(b)
     tiny = jnp.finfo(F.dtype).tiny
     beta1 = jnp.sqrt(jnp.maximum(jnp.sum(b * y0), tiny))
     if base is None:
-        tol = spec.cg_tol * beta1
+        tol = adj_tol * beta1
     else:
         # tolerance relative to the ORIGINAL rhs (one extra M apply on the
         # warm path), so warm and cold starts converge to the same point
         yF = M(F_orig)
-        tol = spec.cg_tol * jnp.sqrt(
+        tol = adj_tol * jnp.sqrt(
             jnp.maximum(jnp.sum(F_orig * yF), tiny))
     d = F.dtype
     zero = jnp.zeros_like(b)
@@ -414,7 +415,8 @@ def solve_gmres(spec: SceneSpec, groups, F, x0=None, return_iters=False):
         def M(r):
             return jnp.einsum("nij,nj->ni", Dinv, r)
     restart = min(spec.cg_max_iter, 64)
-    return _gmres_loop(A, M, F, spec.cg_tol, restart, spec.cg_max_iter,
+    adj_tol = spec.cg_tol if spec.adj_tol is None else spec.adj_tol
+    return _gmres_loop(A, M, F, adj_tol, restart, spec.cg_max_iter,
                        x0=x0, return_iters=return_iters)
 
 

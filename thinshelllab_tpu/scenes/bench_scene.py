@@ -14,7 +14,8 @@ from . import base, cloth_init
 
 def make(cloth_N=70, dtype=jnp.float32, solver="cg", max_newton_iter=8,
          table_n=12, cg_max_iter=200, cg_tol=1e-6, fwd_tol=None,
-         hess_refresh=1, spmv="auto", grid_h=3e-3) -> base.TaskScene:
+         adj_tol=None, hess_refresh=1, spmv="auto",
+         grid_h=3e-3) -> base.TaskScene:
     N = M = cloth_N
     size = 0.1
     dx = size / N
@@ -56,7 +57,8 @@ def make(cloth_N=70, dtype=jnp.float32, solver="cg", max_newton_iter=8,
 
     spec, state0, params = b.build()
     spec = spec.replace(cg_max_iter=cg_max_iter, cg_tol=cg_tol,
-                        fwd_tol=fwd_tol, spd_method="shift")
+                        fwd_tol=fwd_tol, adj_tol=adj_tol,
+                        spd_method="shift")
 
     cloth_nv = (N + 1) * (M + 1)
 
