@@ -119,6 +119,11 @@ def test_import_purity_and_dryrun_subprocess():
         import thinshelllab_tpu
         for info in pkgutil.walk_packages(
                 thinshelllab_tpu.__path__, "thinshelllab_tpu."):
+            # libtsl_topology.so is a plain-C ctypes library living in the
+            # package tree (loaded via ctypes.CDLL, not import); pkgutil
+            # lists it as an extension module but it has no PyInit_ symbol
+            if info.name.rsplit(".", 1)[-1].startswith("libtsl"):
+                continue
             importlib.import_module(info.name)
         assert not xb.backends_are_initialized(), (
             "importing the package initialized a jax backend (device op at "

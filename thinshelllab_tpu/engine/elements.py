@@ -347,21 +347,30 @@ def total_energy(spec, params, pos, prev_pos, vel, ref_angle, contact):
     return e + e_m + e_b + e_n + e_t + e_c + e_f
 
 
-def bending_soup_eg(spec, params, xb, ref_angle, want_grad=True):
-    """Bending energy sum + masked force group from the gathered hinge soup
-    (NH,4,3), via the batched hinge evaluation (en.bending_energy_batch --
-    no strided per-column slices). The gradient comes from jax.vjp with the
-    0/1 hinge mask as the cotangent: bit-identical to
-    vmap(grad(bending_energy)) * mask because scaling a backward seed by
-    exactly 0.0 or 1.0 is exact."""
+def _bend_use_batch():
+    """TSL_BEND_BATCH=1 opts into the leading-axis-split batched hinge
+    evaluation (en.bending_energy_batch). Default OFF: the on-chip A/B at
+    full bench size (round 4) measured the batch form 12% SLOWER end-to-end
+    (4.54 vs 5.11 steps/s) -- XLA fuses the vmapped per-hinge form better
+    on TPU (same lesson as the round-2 closed-form-Hessian negative
+    result). Both forms are ULP-identical (tests/test_energies.py)."""
     import os
 
+    return os.environ.get("TSL_BEND_BATCH", "0") == "1"
+
+
+def bending_soup_eg(spec, params, xb, ref_angle, want_grad=True):
+    """Bending energy sum + masked force group from the gathered hinge soup
+    (NH,4,3). The gradient comes from jax.vjp with the 0/1 hinge mask as
+    the cotangent (batch form) or vmap(grad) * mask (default form):
+    bit-identical, because scaling a backward seed by exactly 0.0 or 1.0
+    is exact."""
     c = spec.cloth
     kb = params.kb[c.hinge_cloth]
     sel = jnp.asarray(c.hinge_sel, xb.dtype)
     m = c.hinge_mask.astype(xb.dtype)
 
-    if os.environ.get("TSL_BEND_BATCH", "1") == "0":  # A/B knob
+    if not _bend_use_batch():
         eb = jax.vmap(en.bending_energy)(xb, sel, ref_angle, c.hinge_coef,
                                          kb)
         if not want_grad:
@@ -437,8 +446,12 @@ def linesearch_energy_fn(spec, params, pos, p, prev_pos, vel, ref_angle,
             jax.vmap(en.membrane_energy)(xm - alpha * dm, c.l0, c.rest_area,
                                          kl, ka)
         )
-        eb = en.bending_energy_batch(xb - alpha * db, sel, ref_angle,
-                                     c.hinge_coef, kb)
+        if _bend_use_batch():
+            eb = en.bending_energy_batch(xb - alpha * db, sel, ref_angle,
+                                         c.hinge_coef, kb)
+        else:
+            eb = jax.vmap(en.bending_energy)(xb - alpha * db, sel,
+                                             ref_angle, c.hinge_coef, kb)
         e = e + jnp.sum(eb * mb)
         for soup, mu, lam, efn, xt, dt_ in tet_parts:
             D = jnp.einsum("aj,tai->tij", S, xt - alpha * dt_)
