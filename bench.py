@@ -101,8 +101,23 @@ def main():
     # by scripts/grad_accuracy.py before this default changed.
     adj_tol = os.environ.get("BENCH_ADJ_TOL")
     adj_tol = float(adj_tol) if adj_tol else None
+    # adjoint matmul precision (A/B knob): "highest" = true-f32 MXU passes
+    # inside the backward sweep (the on-chip gradient-accuracy fix, 5.5e-2
+    # -> 1.9e-3 adjoint-isolated rel err on bench24); "default"/"none"
+    # inherits the TPU default (bf16 passes)
+    adj_prec = os.environ.get("BENCH_ADJ_PREC", "highest")
+    if adj_prec.lower() in ("", "none", "default"):
+        adj_prec = None
 
     n_tri = 2 * cloth_N * cloth_N
+    # BENCH_BATCH=B > 1: vmap B independent fwd+bwd rollouts into ONE XLA
+    # program and report env.steps/s = B*T/wall (VERDICT r4 item 2). The
+    # single-env step is latency/dispatch-bound (mfu ~6e-4), so batched
+    # envs share each dispatch and throughput scales far better than 1x --
+    # the TPU-native parallelism story the reference's subprocess SB3 envs
+    # (training_env.py:64) and serial CMA-ES loop (run_cmaes_all.py:174)
+    # cannot match.
+    B = int(os.environ.get("BENCH_BATCH", "1"))
 
     dpos = np.zeros((T, 1, 3), dtype=np.float64)
     dpos[:, 0, 2] = -0.0004
@@ -111,6 +126,16 @@ def main():
         jnp.zeros((T, 1, 3), dtype),
         jnp.zeros((T, 1), dtype),
     )
+    if B > 1:
+        # per-env jitter so the B rollouts are genuinely distinct work
+        rng = np.random.default_rng(0)
+        dposb = np.broadcast_to(dpos, (B,) + dpos.shape).copy()
+        dposb += 2e-5 * rng.normal(size=dposb.shape)
+        actions = (
+            jnp.asarray(dposb, dtype),
+            jnp.zeros((B, T, 1, 3), dtype),
+            jnp.zeros((B, T, 1), dtype),
+        )
 
     def build_and_compile(spmv):
         sc = bench_scene.make(cloth_N=cloth_N, dtype=dtype,
@@ -121,10 +146,11 @@ def main():
         def fwd_bwd(acts):
             final, buffers = stepper.simulate(spec, params, sc.state0, acts)
             seed_pos, seed_ar = sc.seed_loss(buffers)
-            res = adjoint.backward(spec, params, buffers, seed_pos, seed_ar)
+            res = adjoint.backward(spec, params, buffers, seed_pos, seed_ar,
+                                   matmul_precision=adj_prec)
             return res.gripper_grad, buffers["pos"][-1]
 
-        run = jax.jit(fwd_bwd)
+        run = jax.jit(jax.vmap(fwd_bwd) if B > 1 else fwd_bwd)
         t0 = time.time()
         compiled = run.lower(actions).compile()
         return sc, spec, run, compiled, time.time() - t0
@@ -226,16 +252,19 @@ def main():
 
     # fwd+bwd "steps": T forward implicit steps + T adjoint steps count as T
     # combined fwd+bwd steps (the reference metric counts a training step's
-    # forward+backward pass over one frame as one unit)
-    steps_per_sec = T / elapsed
+    # forward+backward pass over one frame as one unit). With BENCH_BATCH=B
+    # the unit is env.steps: B independent rollouts x T steps each.
+    steps_per_sec = B * T / elapsed
     finite = bool(np.all(np.isfinite(np.asarray(gg))))
 
     # peak numbers for the attached chip (axon tunnel = 1x TPU v5e):
     # 819 GB/s HBM, ~49 TFLOP/s f32 on the MXU (bf16 peak 197 / 4)
     PEAK_HBM = 819e9
     PEAK_F32 = 49.2e12
+    batch_tag = f", batch={B} envs" if B > 1 else ""
     out = {
-        "metric": f"fwd+bwd sim steps/sec ({n_tri}-tri folding scene, "
+        "metric": f"fwd+bwd sim {'env.' if B > 1 else ''}steps/sec "
+        f"({n_tri}-tri folding scene{batch_tag}, "
         f"{'f32' if dtype == jnp.float32 else 'f64'}, "
         f"{jax.devices()[0].platform})",
         "value": round(steps_per_sec, 4),

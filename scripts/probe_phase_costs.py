@@ -162,12 +162,17 @@ def main():
         spec, groups_t, F, return_iters=True)[1])(F0)
     print(f"  adjoint GMRES iterations: {int(jax.device_get(it_adj))}")
 
-    # -- BCR dense-root cutoff sweep (TSL_BCR_CUTOFF read at trace time)
+    # -- BCR dense-root cutoff sweep (bcr_cutoff is a static spec field now;
+    # vary it with spec.replace so each leg traces a distinct program)
     for c in (8, 12, 18):
-        os.environ["TSL_BCR_CUTOFF"] = str(c)
-        bench_phase(f"adjoint solve (bcr cutoff={c})", f_adj, F0,
+        spec_c = spec.replace(bcr_cutoff=c)
+
+        def f_adj_c(F, spec_c=spec_c):
+            z = solver.solve_adjoint(spec_c, groups_t, F)
+            return F + eps * z
+
+        bench_phase(f"adjoint solve (bcr cutoff={c})", f_adj_c, F0,
                     max(2, reps // 8))
-    os.environ.pop("TSL_BCR_CUTOFF", None)
 
     # -- prepare_solver_state sub-phases (scalar-carried data dependence so
     # the fori body is not hoisted as loop-invariant)

@@ -11,6 +11,7 @@ Reference correspondences:
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Callable, List, Optional, Tuple
 
 import jax.numpy as jnp
@@ -337,6 +338,10 @@ class SceneBuilder:
             precond_smooth=3 if self.cfg["solver"] == "cg" else 0,
             hess_refresh=self.cfg["hess_refresh"],
             spmv=self.cfg["spmv"],
+            # env overrides applied ONCE here (never read at trace time) so
+            # the knobs are part of the spec hash and constant per program
+            bend_batch=os.environ.get("TSL_BEND_BATCH", "0") == "1",
+            bcr_cutoff=int(os.environ.get("TSL_BCR_CUTOFF", "4")),
             dtype=d,
         )
 

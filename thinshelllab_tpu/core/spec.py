@@ -255,6 +255,15 @@ class SceneSpec:
     # DIA SpMV backend: 'auto' = Pallas kernel on TPU f32, XLA elsewhere;
     # 'pallas' / 'xla' force one (ops/dia_spmv.py)
     spmv: str = static_field(default="auto")
+    # bending kernel form: False = vmapped per-hinge (on-chip A/B round 4:
+    # 5.11 vs 4.54 steps/s -- XLA fuses it better on TPU), True = the
+    # leading-axis-split batch kernel (energies.bending_energy_batch). Part
+    # of the spec hash so one program never mixes the forms (env override
+    # TSL_BEND_BATCH applied once at scene build, core/builder.py).
+    bend_batch: bool = static_field(default=False)
+    # BCR preconditioner dense-root cutoff (gridsolve.factor_tridiag); env
+    # override TSL_BCR_CUTOFF applied once at scene build.
+    bcr_cutoff: int = static_field(default=4)
     dtype: Any = static_field(default=jnp.float64)
 
 

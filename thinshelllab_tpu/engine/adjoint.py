@@ -202,8 +202,20 @@ def backward(
     debug_iters: bool = False,
     chain_dtype=None,
     solve_dtype=None,
+    matmul_precision="highest",
 ) -> AdjointResult:
     """Run the backward sweep over a simulated trajectory.
+
+    matmul_precision: every dot/einsum/matmul traced inside the backward
+    sweep runs at this jax precision (default "highest" = true f32 on the
+    MXU). On TPU the DEFAULT f32 matmul precision uses bf16 MXU passes,
+    which was the dominant ON-CHIP adjoint error: measured adjoint-isolated
+    gripper-grad rel err vs the f64 oracle on the same tape (bench24,
+    round 5) 5.5e-2 at default -> 1.9e-3 at "highest". The adjoint is
+    latency-bound, not MXU-bound, so the cost is ~0 (on-chip A/B in
+    BASELINE.md). Pass None to inherit the ambient precision. The FORWARD
+    step keeps the default (its inexactness is absorbed by the line search
+    and |p| termination).
 
     buffers: dict from stepper.simulate. seed_pos_grad: (T, NV, 3) dL/dx_t
     seeds; seed_ar_grad: (T, NH) dL/dref_t seeds. skip_steps stops the sweep
@@ -232,6 +244,35 @@ def backward(
     d = spec.dtype
     cd = chain_dtype if chain_dtype is not None else d
     sd = solve_dtype if solve_dtype is not None else d
+    # a requested promotion wider than the enabled precision would silently
+    # degrade to a no-op (astype(float64) stays f32 with x64 off -- the TPU
+    # default per CLAUDE.md) and "measure" zero effect; fail loudly instead
+    for _name, _dt in (("chain_dtype", cd), ("solve_dtype", sd)):
+        if (jnp.dtype(_dt).itemsize > jnp.dtype(d).itemsize
+                and jnp.dtype(_dt) == jnp.dtype(jnp.float64)
+                and not jax.config.jax_enable_x64):
+            raise ValueError(
+                f"{_name}={_dt} requires jax_enable_x64 (float64 silently "
+                f"demotes to float32 otherwise)")
+    if matmul_precision is not None:
+        with jax.default_matmul_precision(matmul_precision):
+            return _backward_body(
+                spec, params, buffers, seed_pos_grad, seed_ar_grad,
+                damping_grad, vertical_only, with_param_grad, skip_steps,
+                friction_loss, f_loss_ratio, warm_start, debug_iters, cd, sd)
+    return _backward_body(
+        spec, params, buffers, seed_pos_grad, seed_ar_grad, damping_grad,
+        vertical_only, with_param_grad, skip_steps, friction_loss,
+        f_loss_ratio, warm_start, debug_iters, cd, sd)
+
+
+def _backward_body(spec, params, buffers, seed_pos_grad, seed_ar_grad,
+                   damping_grad, vertical_only, with_param_grad, skip_steps,
+                   friction_loss, f_loss_ratio, warm_start, debug_iters,
+                   cd, sd):
+    T = seed_pos_grad.shape[0]
+    NV = spec.NV
+    d = spec.dtype
     c = spec.cloth
     kb = params.kb[c.hinge_cloth]
     k_angle = jnp.asarray(c.k_angle, cd)[c.hinge_cloth]

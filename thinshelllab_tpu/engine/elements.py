@@ -166,8 +166,8 @@ def bending_eval(spec, params, pos, ref_angle, with_hess: bool, spd: bool):
         return en.bending_energy(xh, sel_, ref, coef, kb_)
 
     g_fn = jax.grad(e_fn)
-    # batched energy+force (no strided per-column soup slices; bit-identical
-    # to the vmapped per-hinge form -- see bending_soup_eg)
+    # batched energy+force (no strided per-column soup slices; ULP-level
+    # agreement with the vmapped per-hinge form -- see bending_soup_eg)
     E, g = bending_soup_eg(spec, params, x, ref_angle)
     out = {"idx": c.hinge_verts, "g": g}
     if with_hess:
@@ -347,30 +347,34 @@ def total_energy(spec, params, pos, prev_pos, vel, ref_angle, contact):
     return e + e_m + e_b + e_n + e_t + e_c + e_f
 
 
-def _bend_use_batch():
-    """TSL_BEND_BATCH=1 opts into the leading-axis-split batched hinge
+def _bend_use_batch(spec):
+    """spec.bend_batch opts into the leading-axis-split batched hinge
     evaluation (en.bending_energy_batch). Default OFF: the on-chip A/B at
     full bench size (round 4) measured the batch form 12% SLOWER end-to-end
     (4.54 vs 5.11 steps/s) -- XLA fuses the vmapped per-hinge form better
     on TPU (same lesson as the round-2 closed-form-Hessian negative
-    result). Both forms are ULP-identical (tests/test_energies.py)."""
-    import os
-
-    return os.environ.get("TSL_BEND_BATCH", "0") == "1"
+    result). Both forms agree to ULP level (tests/test_energies.py). A
+    static spec field (not an env read at trace time) so the choice is part
+    of the spec hash and constant across every jitted function of one
+    scene; the TSL_BEND_BATCH env override is applied once at scene build
+    (core/builder.py)."""
+    return spec.bend_batch
 
 
 def bending_soup_eg(spec, params, xb, ref_angle, want_grad=True):
     """Bending energy sum + masked force group from the gathered hinge soup
     (NH,4,3). The gradient comes from jax.vjp with the 0/1 hinge mask as
-    the cotangent (batch form) or vmap(grad) * mask (default form):
-    bit-identical, because scaling a backward seed by exactly 0.0 or 1.0
-    is exact."""
+    the cotangent (batch form) or vmap(grad) * mask (default form). Within
+    either form the masking styles are exact (scaling a backward seed by
+    exactly 0.0/1.0 is exact); ACROSS the two forms agreement is ULP-level
+    only (tests/test_energies.py, rtol 5e-15) -- every engine path uses one
+    form per spec (spec.bend_batch), never a mix."""
     c = spec.cloth
     kb = params.kb[c.hinge_cloth]
     sel = jnp.asarray(c.hinge_sel, xb.dtype)
     m = c.hinge_mask.astype(xb.dtype)
 
-    if not _bend_use_batch():
+    if not _bend_use_batch(spec):
         eb = jax.vmap(en.bending_energy)(xb, sel, ref_angle, c.hinge_coef,
                                          kb)
         if not want_grad:
@@ -446,7 +450,7 @@ def linesearch_energy_fn(spec, params, pos, p, prev_pos, vel, ref_angle,
             jax.vmap(en.membrane_energy)(xm - alpha * dm, c.l0, c.rest_area,
                                          kl, ka)
         )
-        if _bend_use_batch():
+        if _bend_use_batch(spec):
             eb = en.bending_energy_batch(xb - alpha * db, sel, ref_angle,
                                          c.hinge_coef, kb)
         else:
@@ -1451,6 +1455,98 @@ def hvp_dia_static(spec, dia, nbr_left, x):
         yr = _pull_apply(spec, nbr_left, xm)
         y = y.at[jnp.asarray(spec.hvp_slots.row_ids)].add(yr)
     return y
+
+
+def to_t2(spec, v):
+    """(NV, 3) -> (3, NVp) transposed/padded vector (the DIA matvec's native
+    layout). Padding columns are zero."""
+    plan = spec.dia
+    return jnp.zeros((3, plan.NVp), v.dtype).at[:, : spec.NV].set(v.T)
+
+
+def from_t2(spec, v2):
+    """(3, NVp) -> (NV, 3)."""
+    return v2[:, : spec.NV].T
+
+
+def hvp_dia_static_T(spec, dia, nbr_left, x2, unf2, m2):
+    """Static part of H @ x entirely in the transposed (3, NVp) layout --
+    the same math as hvp_dia_static with the (NV, 3) <-> (3, NVp) layout
+    conversions REMOVED (round-2 traces measured the per-while-loop-boundary
+    conversions of the (NV,3) carries at multi-ms x ~16/step; carrying the
+    CG state transposed eliminates every in-loop transpose).
+
+    x2: (3, NVp) with zero padding; unf2: (3, NVp) unfrozen mask (zero in
+    padding); m2: (NVp,) mass/dt^2 (zero in padding)."""
+    from ..ops import dia_spmv as _spmv
+
+    plan = spec.dia
+    xm2 = x2 * unf2  # column mask
+    if use_pallas_spmv(spec, x2.dtype):
+        yT = _spmv.dia_spmv(dia, xm2, plan.offsets)  # (3, NVp)
+    else:
+        P = plan.max_abs_off
+        xpad = jnp.concatenate(
+            [jnp.zeros((3, P), x2.dtype), xm2, jnp.zeros((3, P), x2.dtype)],
+            axis=1,
+        )
+        shifted = jnp.stack(
+            [
+                jax.lax.dynamic_slice_in_dim(xpad, P + o, plan.NVp, axis=1)
+                for o in plan.offsets
+            ],
+            axis=1,
+        )
+        yT = jnp.einsum("oijn,jon->in", dia, shifted)
+    y2 = yT * unf2 + m2 * x2  # row mask + inertia (all DOFs, frozen incl.)
+
+    if spec.hvp_slots is not None and spec.hvp_slots.D > 0:
+        sl = spec.hvp_slots
+        xg = xm2[:, jnp.asarray(sl.slot_col)]  # (3, R, D)
+        yr = jnp.einsum("rdij,jrd->ir", nbr_left, xg)  # (3, R)
+        y2 = y2.at[:, jnp.asarray(sl.row_ids)].add(yr)
+    return y2
+
+
+def hvp_dia_contact_T(spec, fused, x2, unf2, DconT=None):
+    """Dynamic contact part of H @ x in the transposed layout (mirrors
+    hvp_dia_contact; DconT is the pre-transposed (3, 3, NVp) frozen-source
+    diagonal when the split is present)."""
+    xm2 = x2 * unf2
+    if "Dcon" in fused:
+        idx = fused["idx_con"]
+        Hd = fused["H_con"]
+        y_diag2 = jnp.einsum("ijn,jn->in", DconT, x2)
+    else:
+        ns = static_block_count(spec)
+        idx = fused["idx"][ns:]
+        Hd = fused["H"][ns:]
+        y_diag2 = jnp.zeros_like(x2)
+    xg = xm2[:, idx]  # (3, C, 4)
+    contrib = jnp.einsum("eabij,jeb->iea", Hd, xg)  # (3, C, 4)
+    yp2 = jnp.zeros_like(x2).at[:, idx].add(contrib * unf2[:, idx])
+    return yp2 + y_diag2
+
+
+def t2_consts(spec, dtype):
+    """Loop-invariant transposed constants for the T-layout solve: unf2
+    (3, NVp) unfrozen mask and m2 (NVp,) inertia diagonal, zero in padding.
+    Computed from spec constants, so XLA hoists them out of solve loops."""
+    plan = spec.dia
+    NV = spec.NV
+    unf2 = jnp.zeros((3, plan.NVp), dtype).at[:, :NV].set(
+        jnp.asarray(~spec.frozen, dtype).T)
+    m2 = jnp.zeros((plan.NVp,), dtype).at[:NV].set(
+        jnp.asarray(spec.mass, dtype) / spec.dt**2)
+    return unf2, m2
+
+
+def blocks_to_t33(spec, B, dtype):
+    """(NV, 3, 3) per-vertex blocks -> (3, 3, NVp) transposed layout (zero
+    padding), for 'ijn,jn->in' einsums against (3, NVp) vectors."""
+    plan = spec.dia
+    return jnp.zeros((3, 3, plan.NVp), dtype).at[:, :, : spec.NV].set(
+        jnp.transpose(B, (1, 2, 0)))
 
 
 def contact_static_split(spec):

@@ -345,13 +345,13 @@ class GridPreconditioner:
 
     def __init__(self, spec, gp, dia, Dinv_rest, Dc=None, cutoff=None):
         if cutoff is None:
-            import os
-
             # root-size sweep knob (scripts/probe_phase_costs.py): the apply
             # inside the Krylov loop is a LATENCY-bound chain of ~3 einsums
             # per BCR level; a larger dense root trades (cheap, HBM-bound)
-            # root-matvec bytes for fewer sequential levels
-            cutoff = int(os.environ.get("TSL_BCR_CUTOFF", "4"))
+            # root-matvec bytes for fewer sequential levels. A static spec
+            # field (env override TSL_BCR_CUTOFF applied once at scene
+            # build, core/builder.py) so the choice is part of the spec hash.
+            cutoff = spec.bcr_cutoff
         self.spec = spec
         self.gp = gp
         self.Dinv_rest = Dinv_rest

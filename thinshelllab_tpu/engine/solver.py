@@ -113,14 +113,15 @@ def solve_cg(spec: SceneSpec, groups, F, x0=None):
         spec, prepare_solver_state(spec, groups, F.dtype), F, x0=x0)
 
 
-def _fused_precond(spec: SceneSpec, st, D, Dinv, w, smooth, dtype):
+def _fused_precond_T(spec: SceneSpec, st, D, Dinv, w, smooth, dtype, unf2):
     """The damped block-Jacobi smoothing polynomial as ONE Pallas kernel
     (ops/dia_spmv.dia_precond) instead of ~7 HLOs x `smooth` sweeps per CG
-    iteration. The kernel's cheap operator is A' = off-band DIA + D with the
-    FULL masked block diagonal D folded into the 0-offset lane; vs the XLA
-    polynomial this drops only the leftover pull rows' OFF-diagonal
-    couplings (their diagonal is inside D) -- a preconditioner-quality
-    approximation, still symmetric, so PCG stays valid.
+    iteration, operating natively on (3, NVp) transposed vectors. The
+    kernel's cheap operator is A' = off-band DIA + D with the FULL masked
+    block diagonal D folded into the 0-offset lane; vs the XLA polynomial
+    this drops only the leftover pull rows' OFF-diagonal couplings (their
+    diagonal is inside D) -- a preconditioner-quality approximation, still
+    symmetric, so PCG stays valid.
 
     Frozen DOFs decouple exactly: inside the kernel they stay zero (r and
     A'z both row-masked), and the XLA recurrence there is the scalar fixed
@@ -135,15 +136,16 @@ def _fused_precond(spec: SceneSpec, st, D, Dinv, w, smooth, dtype):
     dia_pre = st["dia"].at[off0, :, :, :NV].set(jnp.transpose(D, (1, 2, 0)))
     dinv_l = jnp.zeros((3, 3, NVp), dtype).at[:, :, :NV].set(
         jnp.transpose(Dinv, (1, 2, 0)))
-    unf2 = jnp.zeros((3, NVp), dtype).at[:, :NV].set(unf.T)
-    fro = 1.0 - unf
     coef = (spec.dt**2 / md)[:, None] * (1.0 - (1.0 - w) ** (smooth + 1))
+    # frozen-DOF closed form folded into one (3, NVp) coefficient (zero at
+    # unfrozen rows and in the padding)
+    cf2 = jnp.zeros((3, NVp), dtype).at[:, :NV].set(
+        (coef * (1.0 - unf)).T)
 
-    def precond(r):
-        r2 = jnp.zeros((3, NVp), dtype).at[:, :NV].set((r * unf).T)
-        z2 = _spmv.dia_precond(dia_pre, r2, unf2, dinv_l, plan.offsets,
-                               w, smooth)
-        return z2[:, :NV].T * unf + coef * r * fro
+    def precond(r2):
+        z2 = _spmv.dia_precond(dia_pre, r2 * unf2, unf2, dinv_l,
+                               plan.offsets, w, smooth)
+        return z2 * unf2 + cf2 * r2
 
     return precond
 
@@ -155,9 +157,17 @@ def solve_cg_prepared(spec: SceneSpec, st, F, return_iters=False, x0=None):
     gathered once into a pull layout so each CG iteration is gather+einsum
     (no scatter) plus a small dynamic contact scatter.
 
+    With a DIA plan the whole solve runs in the transposed (3, NVp) layout
+    (_solve_cg_prepared_T): the only layout conversions are F at entry and
+    x at exit, instead of per-iteration transposes inside the while_loop
+    (the round-2 traces' multi-ms layout-thrash item).
+
     x0: optional warm start, applied as an optimally scaled base +
     correction solve (_warm_split); the stopping tolerance stays relative
     to the ORIGINAL |F| so the converged point matches the cold start."""
+    if spec.dia is not None:
+        return _solve_cg_prepared_T(spec, st, F, return_iters=return_iters,
+                                    x0=x0)
     A, A_cheap = _ops_from_state(spec, st)
     D = st["D"]
     smooth = spec.precond_smooth if A_cheap is not None else 0
@@ -166,20 +176,18 @@ def solve_cg_prepared(spec: SceneSpec, st, F, return_iters=False, x0=None):
 
     if smooth > 0:
         w = spec.precond_omega
-        if spec.dia is not None and elements.use_pallas_spmv(spec, F.dtype):
-            precond = _fused_precond(spec, st, D, Dinv, w, smooth, F.dtype)
-        else:
-            def precond(r):
-                # damped block-Jacobi smoothing of the cheap operator: a
-                # fixed symmetric polynomial in D^-1 A_cheap, so still a
-                # valid PCG preconditioner, but far closer to H^-1 than one
-                # Jacobi sweep
-                z = w * jnp.einsum("nij,nj->ni", Dinv, r)
-                for _ in range(smooth):
-                    z = z + w * jnp.einsum(
-                        "nij,nj->ni", Dinv, r - A_cheap(z)
-                    )
-                return z
+
+        def precond(r):
+            # damped block-Jacobi smoothing of the cheap operator: a
+            # fixed symmetric polynomial in D^-1 A_cheap, so still a
+            # valid PCG preconditioner, but far closer to H^-1 than one
+            # Jacobi sweep
+            z = w * jnp.einsum("nij,nj->ni", Dinv, r)
+            for _ in range(smooth):
+                z = z + w * jnp.einsum(
+                    "nij,nj->ni", Dinv, r - A_cheap(z)
+                )
+            return z
     else:
         def precond(r):
             return jnp.einsum("nij,nj->ni", Dinv, r)
@@ -226,6 +234,104 @@ def solve_cg_prepared(spec: SceneSpec, st, F, return_iters=False, x0=None):
         cond, body, (x_init, r0, z0, p0, rz0, 0))
     if base is not None:
         x = base + x
+    if return_iters:
+        return x, it
+    return x
+
+
+def _solve_cg_prepared_T(spec: SceneSpec, st, F, return_iters=False,
+                         x0=None):
+    """solve_cg_prepared in the transposed (3, NVp) layout: every carry of
+    the CG while_loop (x, r, z, p) lives in the DIA matvec's native layout,
+    so no (NV, 3) <-> (3, NVp) conversion exists inside the loop -- only F
+    at entry and x at exit convert. Same math, same iteration counts; dot
+    products reduce in a different order (f32-roundoff-level differences
+    only)."""
+    dtype = F.dtype
+    unf2, m2 = elements.t2_consts(spec, dtype)
+    nbr = st.get("nbr")
+    groups = {"idx": st["idx"], "H": st["H"]}
+    for k in ("Dcon", "idx_con", "H_con"):
+        if k in st:
+            groups[k] = st[k]
+    DconT = (elements.blocks_to_t33(spec, st["Dcon"], dtype)
+             if "Dcon" in st else None)
+
+    def A(x2):
+        return elements.hvp_dia_static_T(spec, st["dia"], nbr, x2, unf2,
+                                         m2) + \
+            elements.hvp_dia_contact_T(spec, groups, x2, unf2, DconT)
+
+    D = st["D"]
+    Dinv = _inv3x3(D)  # closed-form adjugate (no LU custom call)
+    smooth = spec.precond_smooth
+    if smooth > 0:
+        w = spec.precond_omega
+        if elements.use_pallas_spmv(spec, dtype):
+            precond = _fused_precond_T(spec, st, D, Dinv, w, smooth, dtype,
+                                       unf2)
+        else:
+            DinvT = elements.blocks_to_t33(spec, Dinv, dtype)
+            DcT = elements.blocks_to_t33(spec, st["Dc"], dtype)
+
+            def A_cheap(x2):
+                return elements.hvp_dia_static_T(
+                    spec, st["dia"], nbr, x2, unf2, m2
+                ) + jnp.einsum("ijn,jn->in", DcT, x2)
+
+            def precond(r2):
+                z2 = w * jnp.einsum("ijn,jn->in", DinvT, r2)
+                for _ in range(smooth):
+                    z2 = z2 + w * jnp.einsum(
+                        "ijn,jn->in", DinvT, r2 - A_cheap(z2)
+                    )
+                return z2
+    else:
+        DinvT = elements.blocks_to_t33(spec, Dinv, dtype)
+
+        def precond(r2):
+            return jnp.einsum("ijn,jn->in", DinvT, r2)
+
+    bnorm = jnp.linalg.norm(F)
+    fwd_tol = spec.cg_tol if spec.fwd_tol is None else spec.fwd_tol
+    tol2 = (fwd_tol * bnorm) ** 2 + jnp.finfo(jnp.result_type(bnorm)).tiny
+    b = elements.to_t2(spec, F)
+    if x0 is not None:
+        base, b = _warm_split(A, b, elements.to_t2(spec, x0))
+    else:
+        base = None
+
+    x_init = jnp.zeros_like(b)
+    r0 = b
+    z0 = precond(r0)
+    p0 = z0
+    rz0 = jnp.sum(r0 * z0)
+
+    def cond(carry):
+        x, r, z, p, rz, it = carry
+        rr = jnp.sum(r * r)
+        return (rr > tol2) & jnp.isfinite(rr) & (it < spec.cg_max_iter)
+
+    def body(carry):
+        x, r, z, p, rz, it = carry
+        Ap = A(p)
+        denom = jnp.sum(p * Ap)
+        tiny = jnp.finfo(jnp.result_type(denom)).tiny
+        alpha = rz / jnp.where(jnp.abs(denom) > tiny, denom, tiny)
+        alpha = jnp.where(jnp.isfinite(alpha), alpha, 0.0)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = precond(r)
+        rz_new = jnp.sum(r * z)
+        beta = rz_new / jnp.where(jnp.abs(rz) > tiny, rz, tiny)
+        p = z + beta * p
+        return x, r, z, p, rz_new, it + 1
+
+    x2, r, z, p, rz, it = jax.lax.while_loop(
+        cond, body, (x_init, r0, z0, p0, rz0, 0))
+    if base is not None:
+        x2 = base + x2
+    x = elements.from_t2(spec, x2)
     if return_iters:
         return x, it
     return x
@@ -697,11 +803,19 @@ def newton_solve(spec: SceneSpec, params, pos0, prev_pos, vel, ref_angle, contac
                 success = E < E0
                 return jnp.where(success, alpha, alpha * 0.5), success, E, g
 
-            E_init, g_init = EF(jnp.asarray(1.0, pos.dtype))
+            # ONE copy of the EF graph in the HLO: the alpha=1.0 trial runs
+            # as the loop's (always-executed) first iteration -- the carry
+            # starts at (1.0, False, E0, dummy g) and linesearch_min_alpha
+            # < 1 guarantees entry. Same alpha sequence and accepted (E, g)
+            # as evaluating EF(1.0) outside: on success the carry holds
+            # (alpha, E(alpha), g(alpha)); on failure alpha was halved
+            # AFTER computing (E, g), so the carried values belong to
+            # alpha*2 = applied.
+            g_shape = jax.eval_shape(EF, jnp.asarray(1.0, pos.dtype))[1]
             alpha, success, E_ls, g_ls = jax.lax.while_loop(
                 ls_cond, ls_body,
-                (jnp.where(E_init < E0, 1.0, 0.5).astype(pos.dtype),
-                 E_init < E0, E_init, g_init),
+                (jnp.asarray(1.0, pos.dtype), False, E0,
+                 jnp.zeros(g_shape.shape, g_shape.dtype)),
             )
             applied = jnp.where(success, alpha, alpha * 2.0)
             return pos - applied * p, E_ls, g_ls, applied

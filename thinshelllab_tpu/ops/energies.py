@@ -96,9 +96,10 @@ def bending_energy_batch(x, sel, ref_angle, coef, kb):
     """Per-hinge bending energies over the whole soup at once: x (NH,4,3),
     sel (NH,4,4) -> (NH,).
 
-    Same arithmetic as vmap(bending_energy) (same per-hinge operations and
-    reduction orders, so the values are bit-identical -- asserted by
-    tests/test_assembly.py), but the 8 geometry rows (the 4 stencil
+    Same arithmetic as vmap(bending_energy) to ULP level (measured max rel
+    diff ~9e-16; asserted at rtol 5e-15 by tests/test_energies.py -- the two
+    forms fuse the per-hinge arithmetic slightly differently, so exact
+    bitwise equality is NOT guaranteed), but the 8 geometry rows (the 4 stencil
     vertices + the 4 sel-selected rows) come out of ONE einsum stacked
     along a LEADING axis. The vmapped form instead slices x[:, k] -- a
     strided mid-dim read of the (NH,4,3) soup that XLA materializes as
