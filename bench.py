@@ -101,13 +101,19 @@ def main():
     # by scripts/grad_accuracy.py before this default changed.
     adj_tol = os.environ.get("BENCH_ADJ_TOL")
     adj_tol = float(adj_tol) if adj_tol else None
-    # adjoint matmul precision (A/B knob): "highest" = true-f32 MXU passes
-    # inside the backward sweep (the on-chip gradient-accuracy fix, 5.5e-2
-    # -> 1.9e-3 adjoint-isolated rel err on bench24); "default"/"none"
-    # inherits the TPU default (bf16 passes)
-    adj_prec = os.environ.get("BENCH_ADJ_PREC", "highest")
+    # adjoint matmul precision (A/B knob): "solves" (default) = true-f32
+    # MXU passes scoped to the adjoint solves + backward chains (the
+    # on-chip gradient-accuracy fix, 5.5e-2 -> 1.9e-3 adjoint-isolated rel
+    # err on bench24, at ~0 cost); "highest" = whole backward sweep
+    # (measured -10% steps/s); "default"/"none" inherits the TPU default
+    # (bf16 passes)
+    adj_prec = os.environ.get("BENCH_ADJ_PREC", "solves")
     if adj_prec.lower() in ("", "none", "default"):
         adj_prec = None
+    # BENCH_TAPE_CONTACTS=1: save each forward step's contact set in the
+    # trajectory tape and skip the adjoint's per-backward-step broadphase +
+    # contact-analysis replay (stepper.simulate save_contacts)
+    tape_contacts = os.environ.get("BENCH_TAPE_CONTACTS", "0") == "1"
 
     n_tri = 2 * cloth_N * cloth_N
     # BENCH_BATCH=B > 1: vmap B independent fwd+bwd rollouts into ONE XLA
@@ -141,10 +147,20 @@ def main():
         sc = bench_scene.make(cloth_N=cloth_N, dtype=dtype,
                               hess_refresh=refresh, spmv=spmv,
                               fwd_tol=fwd_tol, adj_tol=adj_tol)
+        # BENCH_HASH_MIN_FACES: override the spatial-hash crossover (set
+        # very high to force the dense sweep at any size -- 40k-crash triage)
+        hmf = os.environ.get("BENCH_HASH_MIN_FACES")
+        if hmf:
+            import dataclasses as _dc
+
+            sc.spec = _dc.replace(
+                sc.spec, contact=_dc.replace(
+                    sc.spec.contact, hash_min_faces=int(hmf)))
         spec, params = sc.spec, sc.params
 
         def fwd_bwd(acts):
-            final, buffers = stepper.simulate(spec, params, sc.state0, acts)
+            final, buffers = stepper.simulate(spec, params, sc.state0, acts,
+                                              save_contacts=tape_contacts)
             seed_pos, seed_ar = sc.seed_loss(buffers)
             res = adjoint.backward(spec, params, buffers, seed_pos, seed_ar,
                                    matmul_precision=adj_prec)

@@ -113,6 +113,10 @@ def run_adjoint_on_tape(scene, tape_path, out_path):
 
     sc, _T = _build(scene, "f32")
     spec, params = sc.spec, sc.params
+    # GRAD_ACC_MM_PREC: matmul-precision scope A/B ("solves" default /
+    # "highest" / "none")
+    mm = os.environ.get("GRAD_ACC_MM_PREC", "solves")
+    mm = None if mm.lower() in ("", "none", "default") else mm
     z = np.load(tape_path)
     buffers = {k[5:]: jnp.asarray(z[k], jnp.float32)
                for k in z.files if k.startswith("tape_")}
@@ -124,7 +128,8 @@ def run_adjoint_on_tape(scene, tape_path, out_path):
             buffers[k] = jnp.asarray(np.asarray(z[f"tape_{k}"]), dt_)
     seed_pos, seed_ar = sc.seed_loss(buffers)
     res = jax.jit(
-        lambda b, sp, sa: adjoint.backward(spec, params, b, sp, sa)
+        lambda b, sp, sa: adjoint.backward(spec, params, b, sp, sa,
+                                           matmul_precision=mm)
     )(buffers, seed_pos, seed_ar)
     gg = res.gripper_grad
     np.savez(out_path, gripper_grad=np.asarray(gg, np.float64),

@@ -202,20 +202,23 @@ def backward(
     debug_iters: bool = False,
     chain_dtype=None,
     solve_dtype=None,
-    matmul_precision="highest",
+    matmul_precision="solves",
 ) -> AdjointResult:
     """Run the backward sweep over a simulated trajectory.
 
-    matmul_precision: every dot/einsum/matmul traced inside the backward
-    sweep runs at this jax precision (default "highest" = true f32 on the
-    MXU). On TPU the DEFAULT f32 matmul precision uses bf16 MXU passes,
-    which was the dominant ON-CHIP adjoint error: measured adjoint-isolated
-    gripper-grad rel err vs the f64 oracle on the same tape (bench24,
-    round 5) 5.5e-2 at default -> 1.9e-3 at "highest". The adjoint is
-    latency-bound, not MXU-bound, so the cost is ~0 (on-chip A/B in
-    BASELINE.md). Pass None to inherit the ambient precision. The FORWARD
-    step keeps the default (its inexactness is absorbed by the line search
-    and |p| termination).
+    matmul_precision: jax matmul precision for the backward sweep. On TPU
+    the DEFAULT f32 matmul precision uses bf16 MXU passes, which was the
+    dominant ON-CHIP adjoint error: measured adjoint-isolated gripper-grad
+    rel err vs the f64 oracle on the same tape (bench24, round 5) 5.5e-2 at
+    default -> 1.9e-3 at "highest". "highest" everywhere costs ~10%
+    throughput (on-chip A/B: 4.56 vs 5.07 steps/s -- the Hessian-assembly
+    jacfwd einsums are the MXU-bound part); the default "solves" scopes
+    true-f32 to the adjoint linear solves + backward chain einsums only,
+    keeping the element-Hessian assembly at the ambient precision. Pass
+    None to inherit ambient precision everywhere, or any jax precision
+    string to apply it to the whole sweep. The FORWARD step keeps the
+    default (its inexactness is absorbed by the line search and |p|
+    termination).
 
     buffers: dict from stepper.simulate. seed_pos_grad: (T, NV, 3) dL/dx_t
     seeds; seed_ar_grad: (T, NH) dL/dref_t seeds. skip_steps stops the sweep
@@ -254,6 +257,12 @@ def backward(
             raise ValueError(
                 f"{_name}={_dt} requires jax_enable_x64 (float64 silently "
                 f"demotes to float32 otherwise)")
+    if matmul_precision == "solves":
+        return _backward_body(
+            spec, params, buffers, seed_pos_grad, seed_ar_grad,
+            damping_grad, vertical_only, with_param_grad, skip_steps,
+            friction_loss, f_loss_ratio, warm_start, debug_iters, cd, sd,
+            solve_prec="highest")
     if matmul_precision is not None:
         with jax.default_matmul_precision(matmul_precision):
             return _backward_body(
@@ -269,7 +278,17 @@ def backward(
 def _backward_body(spec, params, buffers, seed_pos_grad, seed_ar_grad,
                    damping_grad, vertical_only, with_param_grad, skip_steps,
                    friction_loss, f_loss_ratio, warm_start, debug_iters,
-                   cd, sd):
+                   cd, sd, solve_prec=None):
+    import contextlib
+
+    def prec_ctx():
+        """Scoped true-f32 matmul region ('solves' mode): the adjoint
+        linear solve (GMRES orthogonalization dots, BCR factorization and
+        applies) and the backward chain einsums -- the accuracy-critical
+        matmuls -- at precision 'highest'; no-op otherwise."""
+        if solve_prec is None:
+            return contextlib.nullcontext()
+        return jax.default_matmul_precision(solve_prec)
     T = seed_pos_grad.shape[0]
     NV = spec.NV
     d = spec.dtype
@@ -301,9 +320,19 @@ def _backward_body(spec, params, buffers, seed_pos_grad, seed_ar_grad,
         pg_t = jnp.clip(seed_pos_grad[t].astype(cd) + g1, -1000.0, 1000.0)
         ar_t = jnp.clip(seed_ar_grad[t].astype(cd) + ar1, -1000.0, 1000.0)
 
-        contact, proj_flag, proj_dir = _rebuild_contact(
-            spec, params, pos_tm1, proj_flag, proj_dir
-        )
+        if "contact" in buffers:
+            # taped forward contact set (stepper.simulate save_contacts=True,
+            # index t-1 = the set step t's solve used): skips the whole
+            # per-backward-step broadphase + contact-analysis replay AND
+            # differentiates exactly the contact set the forward minimized
+            # with (the reference's replay, analytic_grad_single.py:225,
+            # rebuilds from the PRE-action step t-1 positions -- an
+            # approximation forced by Taichi's memory model)
+            contact = jax.tree.map(lambda x: x[t - 1], buffers["contact"])
+        else:
+            contact, proj_flag, proj_dir = _rebuild_contact(
+                spec, params, pos_tm1, proj_flag, proj_dir
+            )
         contact_c = cast_float(contact, cd) if cd != d else contact
 
         if friction_loss:  # reference AnalyticGrad(friction_loss=True)
@@ -320,7 +349,8 @@ def _backward_body(spec, params, buffers, seed_pos_grad, seed_ar_grad,
         # surface (the measured source of the plastic-scene f32 adjoint
         # error, BASELINE.md round-3 table). Identical in exact arithmetic
         # to the reference's recompute (ref_angle_backprop_a2ax:1180-1209).
-        dth, theta = _hinge_grads(spec, pos_t.astype(cd))
+        with prec_ctx():
+            dth, theta = _hinge_grads(spec, pos_t.astype(cd))
         if "yield_gate" in buffers:
             yielded = buffers["yield_gate"][t]
         else:
@@ -338,25 +368,27 @@ def _backward_body(spec, params, buffers, seed_pos_grad, seed_ar_grad,
             with_hess=True, spd=False)
         # the true Hessian can be indefinite: GMRES/MINRES on the iterative
         # path, warm-started from the previous step's solution
-        z, it = solver.solve_adjoint(
-            spec, groups, pg_t.astype(sd),
-            x0=z_prev if warm_start else None, return_iters=True)
-        z_c = z.astype(cd)
+        with prec_ctx():
+            z, it = solver.solve_adjoint(
+                spec, groups, pg_t.astype(sd),
+                x0=z_prev if warm_start else None, return_iters=True)
+            z_c = z.astype(cd)
 
-        tmp_z_frozen = elements.frozen_column_product(spec, groups, z)
-        x_hat_grad = z_c * (spec.mass / spec.dt**2)[:, None].astype(cd) \
-            * unfrozen
+            tmp_z_frozen = elements.frozen_column_product(spec, groups, z)
+            x_hat_grad = z_c * (spec.mass / spec.dt**2)[:, None].astype(cd) \
+                * unfrozen
 
-        bp = _contact_energy_backprop(spec, contact_c, pos_t.astype(cd), z_c)
+            bp = _contact_energy_backprop(spec, contact_c, pos_t.astype(cd),
+                                          z_c)
 
-        # bending ref chain x2a: dL/dref_{t-1} += -d_ref * (z . dtheta/dx)
-        z_dth = jnp.einsum("hai,hai->h", z_c[c.hinge_verts], dth)
-        ar_next = ar_next + (-d_ref_coef) * z_dth * c.hinge_mask
+            # bending ref chain x2a: dL/dref_{t-1} += -d_ref*(z . dtheta/dx)
+            z_dth = jnp.einsum("hai,hai->h", z_c[c.hinge_verts], dth)
+            ar_next = ar_next + (-d_ref_coef) * z_dth * c.hinge_mask
 
-        gg = _gather_gripper_grad(
-            spec, buffers["gripper_rot"][t], buffers["pad_local"][t],
-            tmp_z_frozen,
-        )
+            gg = _gather_gripper_grad(
+                spec, buffers["gripper_rot"][t], buffers["pad_local"][t],
+                tmp_z_frozen,
+            )
         if vertical_only:
             gg = gg * jnp.array([0.0, 0, 1, 0, 0, 0], d)[None, :]
 

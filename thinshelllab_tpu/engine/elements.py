@@ -31,6 +31,55 @@ _S_TET = np.concatenate([np.eye(3), -np.ones((1, 3))], axis=0)  # (4, 3) [a, j]
 _S_REL = np.concatenate([-np.ones((1, 3)), np.eye(3)], axis=0)  # (4, r)
 
 
+# The _S_TET/_S_REL contractions written as exact slicing/sums instead of
+# einsums: at the TPU's DEFAULT f32 matmul precision a batched einsum with
+# these +-1/0 matrices runs as bf16 MXU passes, rounding the POSITIONS to 8
+# mantissa bits on the way in -- measured as the dominant on-chip adjoint
+# error (BASELINE.md round 5). Subtractions/negated sums on the VPU are
+# mathematically identical (multiplying by exact 0/+-1 and adding zeros is
+# exact) and precision-setting-independent.
+
+
+def _tet_D(x):
+    """D[t, i, j] = x[t, j, i] - x[t, 3, i] (einsum('aj,tai->tij', S, x))."""
+    return jnp.swapaxes(x[:, :3] - x[:, 3:4], 1, 2)
+
+
+def _tet_g(G):
+    """g[t, a, i] = sum_j G[t, i, j] S[a, j] (einsum('tij,aj->tai'))."""
+    Gt = jnp.swapaxes(G, 1, 2)  # (T, j, i)
+    return jnp.concatenate([Gt, -Gt.sum(axis=1, keepdims=True)], axis=1)
+
+
+def _tet_H(Hd):
+    """H[t,a,b,i,k] = sum_jl Hd[t,i,j,k,l] S[a,j] S[b,l]
+    (einsum('tijkl,aj,bl->tabik'))."""
+    A = jnp.transpose(Hd, (0, 2, 4, 1, 3))  # (T, j, l, i, k)
+    A = jnp.concatenate([A, -A.sum(axis=1, keepdims=True)], axis=1)
+    A = jnp.concatenate([A, -A.sum(axis=2, keepdims=True)], axis=2)
+    return A
+
+
+def _rel_R(x):
+    """R[c, r] = x[c, r+1] - x[c, 0] (einsum('ar,cai->cri', SR, x))."""
+    return x[:, 1:] - x[:, :1]
+
+
+def _rel_g(G):
+    """g[c, a] : a=0 -> -sum_r G[c, r]; a>=1 -> G[c, a-1]
+    (einsum('cri,ar->cai', G, SR))."""
+    return jnp.concatenate([-G.sum(axis=1, keepdims=True), G], axis=1)
+
+
+def _rel_H(Hr):
+    """H[c,a,b,i,k] = sum_rs Hr[c,r,i,s,k] SR[a,r] SR[b,s]
+    (einsum('crisk,ar,bs->cabik'))."""
+    A = jnp.transpose(Hr, (0, 1, 3, 2, 4))  # (C, r, s, i, k)
+    A = jnp.concatenate([-A.sum(axis=1, keepdims=True), A], axis=1)
+    A = jnp.concatenate([-A.sum(axis=2, keepdims=True), A], axis=2)
+    return A
+
+
 # --------------------------------------------------------------------------
 # per-soup energy evaluation
 # --------------------------------------------------------------------------
@@ -100,11 +149,14 @@ def membrane_hess_closed(x, l0, rest_area, kl, ka):
     S2 = _skew(c2)
     Sn = _skew(nh)
     inv2n = (0.5 / nn)[:, None, None]
-    PS1 = jnp.einsum("eij,ejk->eik", P, S1)
-    PS2 = jnp.einsum("eij,ejk->eik", P, S2)
-    K11 = -jnp.einsum("eij,ejk->eik", S2, PS2) * inv2n
-    K12 = jnp.einsum("eij,ejk->eik", S2, PS1) * inv2n
-    K22 = -jnp.einsum("eij,ejk->eik", S1, PS1) * inv2n
+    # true-f32 3x3 chains: at default TPU matmul precision these batched
+    # dots round the position-difference skews to bf16 (Hessian accuracy)
+    _hp = jax.lax.Precision.HIGHEST
+    PS1 = jnp.einsum("eij,ejk->eik", P, S1, precision=_hp)
+    PS2 = jnp.einsum("eij,ejk->eik", P, S2, precision=_hp)
+    K11 = -jnp.einsum("eij,ejk->eik", S2, PS2, precision=_hp) * inv2n
+    K12 = jnp.einsum("eij,ejk->eik", S2, PS1, precision=_hp) * inv2n
+    K22 = -jnp.einsum("eij,ejk->eik", S1, PS1, precision=_hp) * inv2n
     C11 = p2 * g1[:, :, None] * g1[:, None, :] + p1 * K11
     C12 = p2 * g1[:, :, None] * g2[:, None, :] + p1 * (K12 - 0.5 * Sn)
     C22 = p2 * g2[:, :, None] * g2[:, None, :] + p1 * K22
@@ -189,8 +241,7 @@ def bending_eval(spec, params, pos, ref_angle, with_hess: bool, spd: bool):
 def _tet_eval(energy, soup, mu_arr, lam_arr, pos, with_hess: bool, spd: bool,
               spd_method: str = "eigh"):
     x = pos[soup.tets]  # (T, 4, 3)
-    S = _S_TET.astype(pos.dtype)
-    D = jnp.einsum("aj,tai->tij", S, x)  # columns x_a - x_3
+    D = _tet_D(x)  # columns x_a - x_3 (exact, no bf16 MXU pass)
     mu = mu_arr[soup.group]
     lam = lam_arr[soup.group]
 
@@ -200,7 +251,7 @@ def _tet_eval(energy, soup, mu_arr, lam_arr, pos, with_hess: bool, spd: bool,
     g_fn = jax.grad(e_fn)
     E = jax.vmap(e_fn)(D, soup.B, soup.W, mu, lam)
     G = jax.vmap(g_fn)(D, soup.B, soup.W, mu, lam)  # (T, 3, 3) dE/dD_ij
-    g = jnp.einsum("tij,aj->tai", G, S)
+    g = _tet_g(G)
     out = {"idx": soup.tets, "g": g}
     if with_hess:
         Hd = jax.vmap(jax.jacfwd(g_fn))(D, soup.B, soup.W, mu, lam)  # (T,3,3,3,3)
@@ -208,7 +259,7 @@ def _tet_eval(energy, soup, mu_arr, lam_arr, pos, with_hess: bool, spd: bool,
             H9 = Hd.reshape(-1, 9, 9)
             H9 = project_psd_method(H9, spd_method)
             Hd = H9.reshape(-1, 3, 3, 3, 3)
-        H = jnp.einsum("tijkl,aj,bl->tabik", Hd, S, S)
+        H = _tet_H(Hd)
         out["H"] = H
     return jnp.sum(E), out
 
@@ -230,8 +281,7 @@ def tact_eval(spec, params, pos, with_hess, spd):
 def barrier_eval(spec, contact: ContactSet, pos, with_hess: bool, spd: bool):
     idx = contact.idx
     x = pos[idx]  # (C, 4, 3)
-    SR = _S_REL.astype(pos.dtype)
-    R = jnp.einsum("ar,cai->cri", SR, x)  # rows x_{r+1} - x_0
+    R = _rel_R(x)  # rows x_{r+1} - x_0 (exact, no bf16 MXU pass)
 
     def e_fn(Rm):
         return en.barrier_energy(Rm, spec.k_contact, spec.eps_contact)
@@ -240,7 +290,7 @@ def barrier_eval(spec, contact: ContactSet, pos, with_hess: bool, spd: bool):
     E = jax.vmap(e_fn)(R)
     G = jax.vmap(g_fn)(R)  # (C, 3, 3)
     m = contact.active.astype(pos.dtype)
-    g = jnp.einsum("cri,ar->cai", G, SR) * m[:, None, None]
+    g = _rel_g(G) * m[:, None, None]
     out = {"idx": idx, "g": g}
     if with_hess:
         Hr = jax.vmap(jax.jacfwd(g_fn))(R)  # (C, 3,3,3,3): (r,i,s,k)
@@ -248,7 +298,7 @@ def barrier_eval(spec, contact: ContactSet, pos, with_hess: bool, spd: bool):
             H9 = Hr.reshape(-1, 9, 9)
             H9 = project_psd_method(H9, spec.spd_method)
             Hr = H9.reshape(-1, 3, 3, 3, 3)
-        H = jnp.einsum("crisk,ar,bs->cabik", Hr, SR, SR)
+        H = _rel_H(Hr)
         out["H"] = H * m[:, None, None, None, None]
     return jnp.sum(E * m), out
 
@@ -265,9 +315,11 @@ def friction_slip(spec, contact: ContactSet, xc):
     epsilon is exact for the gradient (cf. energies.friction_energy).
     linalg.norm here NaN-poisoned grads of any state evaluated at build
     positions -- caught by the self-contact end-to-end test."""
-    xcen = jnp.einsum("ck,cki->ci", contact.w, xc[:, :3])
+    xcen = jnp.einsum("ck,cki->ci", contact.w, xc[:, :3],
+                      precision=jax.lax.Precision.HIGHEST)
     dx = xc[:, 3] - xcen - contact.dx0
-    u = jnp.einsum("cti,ci->ct", contact.T, dx)  # (C, 2)
+    u = jnp.einsum("cti,ci->ct", contact.T, dx,
+                   precision=jax.lax.Precision.HIGHEST)  # (C, 2)
     r = jnp.sqrt(jnp.sum(u * u, axis=1) + jnp.finfo(u.dtype).tiny)
     return u, r
 
@@ -424,7 +476,6 @@ def linesearch_energy_fn(spec, params, pos, p, prev_pos, vel, ref_angle,
     sel = jnp.asarray(c.hinge_sel, pos.dtype)
     mb = c.hinge_mask.astype(pos.dtype)
 
-    S = _S_TET.astype(pos.dtype)
     tet_parts = []
     for key, soup, mu_arr, lam_arr, efn in (
         ("xn", spec.neo, params.neo_mu, params.neo_lam, en.neo_energy),
@@ -439,7 +490,6 @@ def linesearch_energy_fn(spec, params, pos, p, prev_pos, vel, ref_angle,
 
     xc, dc = soups["xc"], dsoups["xc"]
     mC = contact.active.astype(pos.dtype)
-    SR = _S_REL.astype(pos.dtype)
 
     def E_of(alpha):
         e = en.inertia_external_energy(
@@ -458,10 +508,10 @@ def linesearch_energy_fn(spec, params, pos, p, prev_pos, vel, ref_angle,
                                              ref_angle, c.hinge_coef, kb)
         e = e + jnp.sum(eb * mb)
         for soup, mu, lam, efn, xt, dt_ in tet_parts:
-            D = jnp.einsum("aj,tai->tij", S, xt - alpha * dt_)
+            D = _tet_D(xt - alpha * dt_)
             e = e + jnp.sum(jax.vmap(efn)(D, soup.B, soup.W, mu, lam))
         xc_ = xc - alpha * dc
-        R = jnp.einsum("ar,cai->cri", SR, xc_)
+        R = _rel_R(xc_)
         eC = jax.vmap(
             lambda Rm: en.barrier_energy(Rm, spec.k_contact, spec.eps_contact)
         )(R)
@@ -499,7 +549,6 @@ def linesearch_ef_fn(spec, params, pos, p, prev_pos, vel, ref_angle,
     xm, dm = soups["xm"], dsoups["xm"]
     xb, db = soups["xb"], dsoups["xb"]
 
-    S = _S_TET.astype(pos.dtype)
     tet_parts = []
     for key, soup, mu_arr, lam_arr, efn in (
         ("xn", spec.neo, params.neo_mu, params.neo_lam, en.neo_energy),
@@ -514,7 +563,6 @@ def linesearch_ef_fn(spec, params, pos, p, prev_pos, vel, ref_angle,
 
     xc, dc = soups["xc"], dsoups["xc"]
     mC = contact.active.astype(pos.dtype)
-    SR = _S_REL.astype(pos.dtype)
 
     def EF_of(alpha):
         gs = []
@@ -530,18 +578,18 @@ def linesearch_ef_fn(spec, params, pos, p, prev_pos, vel, ref_angle,
         e = e + e_b
         gs.append(gb)
         for soup, mu, lam, efn, xt, dt_ in tet_parts:
-            D = jnp.einsum("aj,tai->tij", S, xt - alpha * dt_)
+            D = _tet_D(xt - alpha * dt_)
             et, G = jax.vmap(jax.value_and_grad(efn))(D, soup.B, soup.W,
                                                       mu, lam)
             e = e + jnp.sum(et)
-            gs.append(jnp.einsum("tij,aj->tai", G, S))
+            gs.append(_tet_g(G))
         xc_ = xc - alpha * dc
-        R = jnp.einsum("ar,cai->cri", SR, xc_)
+        R = _rel_R(xc_)
         eC, Gb = jax.vmap(jax.value_and_grad(
             lambda Rm: en.barrier_energy(Rm, spec.k_contact,
                                          spec.eps_contact)))(R)
         e = e + jnp.sum(eC * mC)
-        g_bar = jnp.einsum("cri,ar->cai", Gb, SR) * mC[:, None, None]
+        g_bar = _rel_g(Gb) * mC[:, None, None]
         # friction: shared slip helper feeds both the energy term and the
         # force rows (identical to linesearch_energy_fn / friction_eval)
         u, r = friction_slip(spec, contact, xc_)
@@ -616,7 +664,6 @@ def force_groups_from_soups(spec, params, soups, ref_angle, contact):
     _, gb = bending_soup_eg(spec, params, soups["xb"], ref_angle)
     groups.append({"idx": c.hinge_verts, "g": gb})
 
-    S = _S_TET.astype(soups["xm"].dtype)
     for key, soup, mu_arr, lam_arr, efn in (
         ("xn", spec.neo, params.neo_mu, params.neo_lam, en.neo_energy),
         ("xt", spec.tact, params.tact_mu, params.tact_lam,
@@ -624,20 +671,18 @@ def force_groups_from_soups(spec, params, soups, ref_angle, contact):
     ):
         if key not in soups:
             continue
-        D = jnp.einsum("aj,tai->tij", S, soups[key])
+        D = _tet_D(soups[key])
         mu = mu_arr[soup.group]
         lam = lam_arr[soup.group]
         G = jax.vmap(jax.grad(efn))(D, soup.B, soup.W, mu, lam)
-        groups.append({"idx": soup.tets,
-                       "g": jnp.einsum("tij,aj->tai", G, S)})
+        groups.append({"idx": soup.tets, "g": _tet_g(G)})
 
-    SR = _S_REL.astype(soups["xc"].dtype)
-    R = jnp.einsum("ar,cai->cri", SR, soups["xc"])
+    R = _rel_R(soups["xc"])
     Gb = jax.vmap(jax.grad(
         lambda Rm: en.barrier_energy(Rm, spec.k_contact, spec.eps_contact)
     ))(R)
     mC = contact.active.astype(soups["xc"].dtype)
-    g_bar = jnp.einsum("cri,ar->cai", Gb, SR) * mC[:, None, None]
+    g_bar = _rel_g(Gb) * mC[:, None, None]
     g_fr = _friction_force_from_soup(spec, contact, soups["xc"])
     groups.append({"idx": contact.idx, "g": g_bar + g_fr})
     return fuse_groups(spec, groups, with_hess=False)
@@ -1354,7 +1399,10 @@ def assemble_dia(spec, fused, dtype):
         onehot = jax.nn.one_hot(
             jnp.asarray(plan.o_idx), n_off + 1, dtype=dtype
         )
-        part = jnp.einsum("rkc,rko->ocr", vals, onehot)[:n_off]
+        # one-hot placement MUST be true-f32: a bf16 MXU pass would round
+        # the tet Hessian blocks themselves (operator accuracy, fwd + adjoint)
+        part = jnp.einsum("rkc,rko->ocr", vals, onehot,
+                          precision=jax.lax.Precision.HIGHEST)[:n_off]
         dia = dia.at[:, :, :, jnp.asarray(plan.rows)].add(
             part.reshape(n_off, 3, 3, -1)
         )

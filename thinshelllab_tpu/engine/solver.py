@@ -584,13 +584,18 @@ def _gmres_loop(A, M, b, tol, m, max_total=None, x0=None,
             V, H, Q, g, k, _res, best, stall = carry
             v = jax.lax.dynamic_index_in_dim(V, k, keepdims=False)
             w = A(M(v.reshape(shape))).reshape(-1)
-            # modified Gram-Schmidt against the filled basis (masked full dot)
+            # modified Gram-Schmidt against the filled basis (masked full
+            # dot). The basis dots run at true-f32 MXU precision explicitly:
+            # at the TPU default (bf16 passes) the projection coefficients
+            # lose ~8 mantissa bits and the Krylov basis loses
+            # orthogonality, directly bounding the attainable residual.
+            hp = jax.lax.Precision.HIGHEST
             mask = (jnp.arange(m + 1) <= k).astype(d)
-            h = (V @ w) * mask
-            w = w - h @ V
+            h = jnp.matmul(V, w, precision=hp) * mask
+            w = w - jnp.matmul(h, V, precision=hp)
             # one re-orthogonalization pass for f32 robustness
-            h2 = (V @ w) * mask
-            w = w - h2 @ V
+            h2 = jnp.matmul(V, w, precision=hp) * mask
+            w = w - jnp.matmul(h2, V, precision=hp)
             h = h + h2
             wn = jnp.linalg.norm(w)
             h = h.at[k + 1].set(wn)
@@ -629,7 +634,8 @@ def _gmres_loop(A, M, b, tol, m, max_total=None, x0=None,
         rhs = jnp.where(filled, g[:m], 0.0)
         y = jax.scipy.linalg.solve_triangular(T, rhs, lower=False)
         y = jnp.where(filled, y, 0.0)
-        return M((y @ V[:m]).reshape(shape)), res, k, stall >= 8
+        dx = jnp.matmul(y, V[:m], precision=jax.lax.Precision.HIGHEST)
+        return M(dx.reshape(shape)), res, k, stall >= 8
 
     def outer_cond(carry):
         _x, _r, res, tot, stalled = carry

@@ -30,6 +30,7 @@ class StepAux(NamedTuple):
     contact_active: jnp.ndarray
     newton_pos: jnp.ndarray
     yield_gate: jnp.ndarray
+    contact: object = None  # ContactSet of this step (save_contacts path)
 
 
 def update_ref_angle_gate(spec: SceneSpec, pos, ref_angle):
@@ -105,33 +106,47 @@ def time_step(spec: SceneSpec, params: Params, state: SimState, action):
         gripper=gs,
     )
     aux = StepAux(prev_pos=prev_pos, contact_active=contact.active,
-                  newton_pos=new_pos, yield_gate=yield_gate)
+                  newton_pos=new_pos, yield_gate=yield_gate, contact=contact)
     return new_state, aux
 
 
-def rollout(spec: SceneSpec, params: Params, state: SimState, actions):
+def rollout(spec: SceneSpec, params: Params, state: SimState, actions,
+            save_contacts: bool = False):
     """Scan a full trajectory. actions: tuple of (T, G, 3)/(T, G, 3)/(T, G).
 
     Returns (final_state, buffers) where buffers stack per-step pos,
     ref_angle and gripper pose -- the adjoint's trajectory tape (reference
-    analytic_grad_single.copy_pos:38-52)."""
+    analytic_grad_single.copy_pos:38-52).
+
+    save_contacts: additionally stack each step's ContactSet into the tape
+    so adjoint.backward can skip the per-backward-step broadphase +
+    contact-analysis replay entirely (reference transfer_grad re-runs
+    f_contact each step, analytic_grad_single.py:225 -- a Taichi memory
+    constraint, not a semantic requirement; ~1 MB/step at bench size is
+    trivial HBM). The taped set is the contact set the forward ACTUALLY
+    minimized with (post-action positions, forward-latched sides), i.e.
+    the backward then differentiates exactly the forward that ran."""
 
     def f(st, act):
         st2, aux = time_step(spec, params, st, act)
         saved = (st2.pos, st2.ref_angle, st2.gripper.pos, st2.gripper.rot,
                  st2.gripper.dist, st2.gripper.pad_local, aux.yield_gate)
+        if save_contacts:
+            saved = saved + (aux.contact,)
         return st2, saved
 
     final, saved = jax.lax.scan(f, state, actions)
     return final, saved
 
 
-def simulate(spec: SceneSpec, params: Params, state0: SimState, actions):
+def simulate(spec: SceneSpec, params: Params, state0: SimState, actions,
+             save_contacts: bool = False):
     """Run a rollout and return (final_state, buffers) with buffers[t] the
     state after step t (buffers[0] = initial), matching the reference's
     trajectory tape layout (analytic_grad pos_buffer)."""
-    final, saved = rollout(spec, params, state0, actions)
-    pos, ref, gpos, grot, gdist, glocal, ygate = saved
+    final, saved = rollout(spec, params, state0, actions,
+                           save_contacts=save_contacts)
+    pos, ref, gpos, grot, gdist, glocal, ygate = saved[:7]
 
     def prepend(x0, xs):
         return jnp.concatenate([x0[None], xs], axis=0)
@@ -149,4 +164,8 @@ def simulate(spec: SceneSpec, params: Params, state0: SimState, actions):
         "final_proj_flag": final.proj_flag,
         "final_proj_dir": final.proj_dir,
     }
+    if save_contacts:
+        # contact[t] is the set step t+1's solve used (no step-0 slot);
+        # the backward at step t reads index t-1
+        buffers["contact"] = saved[7]
     return final, buffers

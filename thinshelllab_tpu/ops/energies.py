@@ -64,8 +64,16 @@ def hinge_angle(x, sel):
 
     theta = atan2((n1 x n2) . e_hat, n1 . n2) is the smooth signed dihedral
     angle: exactly equal to the reference's acos + side-sign form but
-    differentiable at theta = 0 (the flat state)."""
-    rows = sel @ x  # (4, 3): [xa, xb, x_ea, x_eb]
+    differentiable at theta = 0 (the flat state).
+
+    The selection is a broadcast multiply-reduce, NOT a matmul: under vmap
+    a `sel @ x` becomes a batched (NH,4,4)x(NH,4,3) dot that the TPU runs
+    as bf16 MXU passes at the default f32 matmul precision -- rounding the
+    POSITIONS to 8 mantissa bits on the way in (measured: the dominant
+    on-chip adjoint error, BASELINE.md round 5). Multiplying by exact
+    0.0/1.0 and summing zeros on the VPU is exact at any precision
+    setting."""
+    rows = jnp.sum(sel[:, :, None] * x[None, :, :], axis=1)  # [xa,xb,xea,xeb]
     xa, xb, xea, xeb = rows[0], rows[1], rows[2], rows[3]
     n1 = jnp.cross(x[1] - x[0], x[2] - x[1])
     n1 = n1 / jnp.linalg.norm(n1)
@@ -110,7 +118,11 @@ def bending_energy_batch(x, sel, ref_angle, coef, kb):
     are exact in floats)."""
     eye = jnp.broadcast_to(jnp.eye(4, dtype=x.dtype), sel.shape)
     sel8 = jnp.concatenate([eye, sel], axis=1)  # (NH, 8, 4)
-    rows = jnp.einsum("hrk,hki->rhi", sel8, x)  # (8, NH, 3): leading split
+    # broadcast multiply-reduce, not a batched dot: exact 0/1 selection on
+    # the VPU regardless of the matmul-precision setting (see hinge_angle)
+    rows = jnp.transpose(
+        jnp.sum(sel8[:, :, :, None] * x[:, None, :, :], axis=2), (1, 0, 2)
+    )  # (8, NH, 3): leading split
     x0, x1, x2, x3, xa, xb, xea, xeb = rows
 
     def _hat(v):
@@ -131,7 +143,11 @@ def bending_energy_batch(x, sel, ref_angle, coef, kb):
 
 
 def neo_energy(D, B, W, mu, lam):
-    F = D @ B
+    # true-f32 deformation gradient: at the TPU default matmul precision the
+    # vmapped 3x3 dot rounds D (position differences) to bf16 -- a direct
+    # Hessian/force accuracy loss; the 6-pass f32 product on a per-tet 3x3
+    # is noise next to the surrounding AD graph
+    F = jnp.matmul(D, B, precision="highest")
     J = jnp.linalg.det(F)
     logJ = jnp.log(jnp.maximum(J, 0.01))
     phi = 0.5 * mu * (jnp.sum(F * F) - 3.0) - mu * logJ + 0.5 * lam * logJ**2
@@ -139,7 +155,7 @@ def neo_energy(D, B, W, mu, lam):
 
 
 def tactile_energy(D, B, W, mu, lam):
-    F = D @ B
+    F = jnp.matmul(D, B, precision="highest")  # see neo_energy
     J = jnp.linalg.det(F)
     I1 = jnp.sum(F * F)
     alpha = 1.0 + mu / lam
