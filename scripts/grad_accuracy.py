@@ -77,11 +77,18 @@ def run(dtype_str, scene, out_path):
     acts = (jnp.asarray(dpos, dt), jnp.zeros((T, sc.n_part, 3), dt),
             jnp.zeros((T, sc.n_part), dt))
 
+    # GRAD_ACC_TAPE=1: tape the forward contact sets and differentiate
+    # those (stepper.simulate save_contacts; the bench's
+    # BENCH_TAPE_CONTACTS mode) so the accuracy of the tape-mode adjoint
+    # is measured against a tape-mode oracle
+    tape_contacts = os.environ.get("GRAD_ACC_TAPE", "0") == "1"
+
     # two separate jits: the single fused fwd+bwd folding program
     # reproducibly crashes this image's TPU worker (kernel fault in the
     # combined compile; both halves run fine separately -- round-3 finding)
     _final, buffers = jax.jit(
-        lambda a: stepper.simulate(spec, params, sc.state0, a))(acts)
+        lambda a: stepper.simulate(spec, params, sc.state0, a,
+                                   save_contacts=tape_contacts))(acts)
     seed_pos, seed_ar = sc.seed_loss(buffers)
     res = jax.jit(
         lambda b, sp, sa: adjoint.backward(spec, params, b, sp, sa)
@@ -93,7 +100,15 @@ def run(dtype_str, scene, out_path):
         # persist the tape so the f32 adjoint can be measured on the SAME
         # trajectory (isolates adjoint-solve error from forward drift)
         for k, v in buffers.items():
-            save[f"tape_{k}"] = np.asarray(v, np.float64)
+            if k == "contact":
+                # ContactSet pytree: flatten per-field (rebuilt on load)
+                import dataclasses as _dc
+
+                for f in _dc.fields(v):
+                    save[f"tapecon_{f.name}"] = np.asarray(
+                        getattr(v, f.name))
+            else:
+                save[f"tape_{k}"] = np.asarray(v, np.float64)
     np.savez(out_path, **save)
     print(f"[{dtype_str}/{scene}] grad norm "
           f"{float(np.linalg.norm(np.asarray(gg))):.6e} -> {out_path}")
@@ -126,6 +141,19 @@ def run_adjoint_on_tape(scene, tape_path, out_path):
                    ("yield_gate", jnp.bool_)):
         if k in buffers:
             buffers[k] = jnp.asarray(np.asarray(z[f"tape_{k}"]), dt_)
+    # taped contact sets (GRAD_ACC_TAPE oracle): rebuild the ContactSet
+    # pytree; float leaves go to f32, int/bool leaves keep their dtype
+    if any(k.startswith("tapecon_") for k in z.files):
+        from thinshelllab_tpu.core.spec import ContactSet
+
+        def _cast(a):
+            a = np.asarray(a)
+            return jnp.asarray(a, jnp.float32
+                               if a.dtype.kind == "f" else a.dtype)
+
+        buffers["contact"] = ContactSet(
+            **{k[8:]: _cast(z[k]) for k in z.files
+               if k.startswith("tapecon_")})
     seed_pos, seed_ar = sc.seed_loss(buffers)
     res = jax.jit(
         lambda b, sp, sa: adjoint.backward(spec, params, b, sp, sa,

@@ -1,0 +1,48 @@
+#!/bin/bash
+# VERDICT r4 item 5: record `trajopt iters/hour` end-to-end ON THE TPU at
+# the reference budget shape (50 steps/iter, scripts/run_trajopt_folding.sh
+# = 400 iters x 50 steps; reference code/scripts/run_trajopt_folding.sh).
+# Runs >= 30 iterations and reports iters/hour from the steady-state
+# per-iteration wall time (excluding the one-time compile, reported
+# separately -- the reference's Taichi JIT warm-up is likewise excluded
+# from its per-iter prints, trajopt_folding.py:83).
+#
+# Usage: scripts/tpu_trajopt_hour.sh [ITERS (default 30)]
+set -u
+cd "$(dirname "$0")/.."
+ITERS=${1:-30}
+OUT=${TRAJOPT_HOUR_OUT:-/tmp/trajopt_hour.log}
+start=$(date +%s)
+timeout "${TRAJOPT_HOUR_TIMEOUT:-5400}" python -m thinshelllab_tpu.cli \
+  trajopt --env folding --iter "$ITERS" --tot_step 50 --lr 3e-5 \
+  > "$OUT" 2>&1
+rc=$?
+end=$(date +%s)
+python - "$OUT" "$start" "$end" "$rc" <<'EOF'
+import json, re, sys
+log, t0, t1, rc = sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4])
+times, rewards = [], []
+for line in open(log):
+    m = re.match(r"iter (\d+): reward (\S+) \|g\| \S+ t (\S+)s", line)
+    if m:
+        rewards.append(float(m.group(2)))
+        times.append(float(m.group(3)))
+if not times:
+    print(json.dumps({"error": f"no iterations parsed (rc={rc})",
+                      "tail": open(log).read()[-400:]}))
+    sys.exit(1)
+# iter 0 pays the XLA compile; steady state = the rest
+steady = times[1:] or times
+per_iter = sum(steady) / len(steady)
+print(json.dumps({
+    "metric": "trajopt iters/hour (folding, 50 steps/iter, tpu)",
+    "iters_per_hour": round(3600.0 / per_iter, 1),
+    "per_iter_s": round(per_iter, 2),
+    "compile_iter0_s": round(times[0], 1),
+    "n_iters": len(times),
+    "wall_total_s": t1 - t0,
+    "reward_first": rewards[0],
+    "reward_best": max(rewards),
+    "rc": rc,
+}))
+EOF

@@ -237,6 +237,28 @@ def test_contact_split_hvp_matches_unsplit():
                                rtol=0, atol=1e-12 * float(
                                    jnp.abs(y_ref).max()))
 
+    # the non-frozen-source pairs (cloth->pad faces, pad->cloth faces,
+    # table->cloth faces) must classify as selection-matmul ('mm') pairs:
+    # their per-CG-iteration dynamic-index traffic is zero
+    _diag, mm_ranges, gen_ranges = elements.contact_static_split(spec)
+    assert len(mm_ranges) == 3 and not gen_ranges
+    assert "mm_S" in stt and stt["idx_con"].shape[0] == 0
+
+    # transposed-layout parity (the layout the production CG actually runs)
+    plan = spec.dia
+    unf2, _m2 = elements.t2_consts(spec, jnp.float64)
+    x2 = jnp.zeros((3, plan.NVp)).at[:, : spec.NV].set(x.T)
+    gT = {k: stt[k] for k in
+          ("idx", "H", "Dcon", "idx_con", "H_con", "mm_S", "mm_H")
+          if k in stt}
+    DconT = elements.blocks_to_t33(spec, stt["Dcon"], jnp.float64)
+    yT = elements.hvp_dia_contact_T(spec, gT, x2, unf2, DconT)
+    y_con = elements.hvp_dia_contact(spec, gT, x)
+    np.testing.assert_allclose(np.asarray(yT[:, : spec.NV].T),
+                               np.asarray(y_con),
+                               rtol=0, atol=1e-12 * float(
+                                   jnp.abs(y_con).max()))
+
 
 @pytest.mark.parametrize("make,kw", [
     (bench_scene.make, dict(cloth_N=12)),   # contact + tactile/ball tets

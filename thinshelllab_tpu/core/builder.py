@@ -524,6 +524,7 @@ class SceneBuilder:
         cq_vert, cq_pair, cq_mu, cq_fs, cq_nf, cq_self = [], [], [], [], [], []
         pair_desc = []
         hash_desc = []
+        src_vrange = []
         max_nf = 1
         cq_start = 0
         for pi, (src, tgt, mu_slot, is_self) in enumerate(self.pairs):
@@ -531,6 +532,7 @@ class SceneBuilder:
             verts = np.arange(tb.v_offset, tb.v_offset + tb.n_verts, dtype=np.int32)
             pair_desc.append((cq_start, tb.n_verts, sb.f_offset, sb.n_faces,
                               bool(is_self)))
+            src_vrange.append((int(sb.v_offset), int(sb.n_verts)))
             hash_desc.append(self._hash_desc_for(sb, pos0, sb.surfaces))
             cq_start += tb.n_verts
             cq_vert.append(verts)
@@ -579,6 +581,8 @@ class SceneBuilder:
             query_chunk=chunk,
             pair_desc=tuple(pair_desc),
             hash_desc=tuple(hash_desc),
+            src_vrange=tuple(src_vrange),
+            mm_budget=int(os.environ.get("TSL_CONTACT_MM", "8000000")),
         )
 
     def _build_gripper(self, pos0):

@@ -115,6 +115,19 @@ class ContactSpec:
     # (elements.contact_static_split). In the bench scene this removes the
     # ~half of contact slots that carry the resting cloth.
     frozen_src: Tuple = static_field(default=())
+    # static per-pair (v_offset, n_verts) of the SOURCE body's vertex range.
+    # Lets the contact matvec turn a pair's face-side gather/scatter into
+    # selection matmuls over the source body's (bounded) vertex slice
+    # (elements.contact_static_split 'mm' classification): on TPU the
+    # gather/scatter is index-rate limited (~100 ns/index, the top per-CG-
+    # iteration cost in the round-3/5 device traces) while a one-hot
+    # selection matmul of the same coupling rides the MXU.
+    src_vrange: Tuple = static_field(default=())
+    # element-count budget for a pair's (count*3, n_src_verts) selection
+    # matrix; pairs above it (e.g. cloth self-contact) stay on the
+    # gather/scatter path. 0 disables the matmul path entirely (A/B knob;
+    # env override TSL_CONTACT_MM applied once at scene build).
+    mm_budget: int = static_field(default=8_000_000)
 
 
 @pytree_dataclass

@@ -1558,21 +1558,42 @@ def hvp_dia_static_T(spec, dia, nbr_left, x2, unf2, m2):
 
 def hvp_dia_contact_T(spec, fused, x2, unf2, DconT=None):
     """Dynamic contact part of H @ x in the transposed layout (mirrors
-    hvp_dia_contact; DconT is the pre-transposed (3, 3, NVp) frozen-source
-    diagonal when the split is present)."""
+    hvp_dia_contact, including the 'mm' selection-matmul pairs; DconT is
+    the pre-transposed (3, 3, NVp) frozen-source diagonal when the split
+    is present)."""
     xm2 = x2 * unf2
-    if "Dcon" in fused:
+    yp2 = jnp.zeros_like(x2)
+    y_diag2 = jnp.zeros_like(x2)
+    if "idx_con" in fused:
         idx = fused["idx_con"]
         Hd = fused["H_con"]
-        y_diag2 = jnp.einsum("ijn,jn->in", DconT, x2)
+        if DconT is not None:
+            y_diag2 = jnp.einsum("ijn,jn->in", DconT, x2)
+        if "mm_S" in fused:
+            hp = jax.lax.Precision.HIGHEST
+            _d, mm_ranges, _g = contact_static_split(spec)
+            for (_cs, cnt, v_lo, f_vlo, f_vn), S, Hm in zip(
+                    mm_ranges, fused["mm_S"], fused["mm_H"]):
+                xf = jnp.einsum("caf,jf->caj", S,
+                                xm2[:, f_vlo : f_vlo + f_vn], precision=hp)
+                xq = jnp.swapaxes(xm2[:, v_lo : v_lo + cnt], 0, 1)
+                xg = jnp.concatenate([xf, xq[:, None, :]], axis=1)
+                contrib = jnp.einsum("eabij,ebj->eai", Hm, xg)
+                yp2 = yp2.at[:, v_lo : v_lo + cnt].add(
+                    jnp.swapaxes(contrib[:, 3], 0, 1)
+                    * unf2[:, v_lo : v_lo + cnt])
+                yf = jnp.einsum("caf,cai->if", S, contrib[:, :3],
+                                precision=hp)
+                yp2 = yp2.at[:, f_vlo : f_vlo + f_vn].add(
+                    yf * unf2[:, f_vlo : f_vlo + f_vn])
     else:
         ns = static_block_count(spec)
         idx = fused["idx"][ns:]
         Hd = fused["H"][ns:]
-        y_diag2 = jnp.zeros_like(x2)
-    xg = xm2[:, idx]  # (3, C, 4)
-    contrib = jnp.einsum("eabij,jeb->iea", Hd, xg)  # (3, C, 4)
-    yp2 = jnp.zeros_like(x2).at[:, idx].add(contrib * unf2[:, idx])
+    if idx.shape[0] > 0:
+        xg = xm2[:, idx]  # (3, C, 4)
+        contrib = jnp.einsum("eabij,jeb->iea", Hd, xg)  # (3, C, 4)
+        yp2 = yp2.at[:, idx].add(contrib * unf2[:, idx])
     return yp2 + y_diag2
 
 
@@ -1612,47 +1633,80 @@ def contact_static_split(spec):
     indices the contact matvec moved per iteration (the top CG cost in the
     round-3 device trace).
 
-    Returns (diag_ranges, gen_ranges) of (cq_start, count[, v_lo]) tuples,
-    or None when no pair qualifies."""
+    A non-frozen-source pair whose query slots are contiguous and whose
+    SOURCE body vertex range is bounded (spec.contact.src_vrange /
+    mm_budget) is classified 'mm': its face-side gather/scatter becomes a
+    one-hot selection matmul over the source body's vertex slice and its
+    query side becomes static slice reads/writes -- the per-CG-iteration
+    dynamic-index traffic for such pairs drops to zero (gathers/scatters on
+    TPU are index-rate limited, ~100 ns/index; the selection matmul rides
+    the MXU at ~us for the same coupling). Pairs that qualify for neither
+    (self-contact, oversized, non-contiguous) stay on the gather/scatter
+    path.
+
+    Returns (diag_ranges, mm_ranges, gen_ranges) with entries
+    (cq_start, count, v_lo) / (cq_start, count, v_lo, f_vlo, f_vn) /
+    (cq_start, count), or None when no pair qualifies for diag or mm."""
     import numpy as _np
 
     con = spec.contact
-    if not con.frozen_src or not con.pair_desc:
+    if not con.pair_desc:
         return None
-    diag_ranges, gen_ranges = [], []
+    diag_ranges, mm_ranges, gen_ranges = [], [], []
     for pi, (cq_start, count, _fs, _nf, is_self) in enumerate(con.pair_desc):
-        qual = (pi < len(con.frozen_src) and con.frozen_src[pi]
-                and not is_self)
-        if qual:
-            v_lo = int(con.cq_vert[cq_start])
-            contig = bool(
-                (_np.asarray(con.cq_vert[cq_start : cq_start + count])
-                 == _np.arange(v_lo, v_lo + count)).all()
-            )
-            if contig:
-                diag_ranges.append((cq_start, count, v_lo))
+        frozen_q = (pi < len(con.frozen_src) and con.frozen_src[pi]
+                    and not is_self)
+        v_lo = int(con.cq_vert[cq_start])
+        contig = bool(
+            (_np.asarray(con.cq_vert[cq_start : cq_start + count])
+             == _np.arange(v_lo, v_lo + count)).all()
+        )
+        if frozen_q and contig:
+            diag_ranges.append((cq_start, count, v_lo))
+            continue
+        if (contig and not is_self and con.mm_budget > 0
+                and pi < len(con.src_vrange)):
+            f_vlo, f_vn = con.src_vrange[pi]
+            if f_vn > 0 and count * 3 * f_vn <= con.mm_budget:
+                mm_ranges.append((cq_start, count, v_lo, f_vlo, f_vn))
                 continue
         gen_ranges.append((cq_start, count))
-    if not diag_ranges:
+    if not diag_ranges and not mm_ranges:
         return None
-    return tuple(diag_ranges), tuple(gen_ranges)
+    return tuple(diag_ranges), tuple(mm_ranges), tuple(gen_ranges)
 
 
 def build_contact_split(spec, idx_c, H_c, dtype):
     """Per-operator-build arrays for the split contact matvec: the exact
-    frozen-source diagonal Dcon (NV, 3, 3) via static slice-adds, plus the
-    compacted (idx, H) of the remaining general slots (static slices, no
-    gather). idx_c/H_c are the contact rows of the fused group."""
+    frozen-source diagonal Dcon (NV, 3, 3) via static slice-adds, the
+    per-pair one-hot selection matrices + Hessian slices of the 'mm'
+    (matmul) pairs, plus the compacted (idx, H) of the remaining general
+    slots (static slices, no gather). idx_c/H_c are the contact rows of
+    the fused group. Inactive slots carry exactly-zero H blocks (sanitized
+    contact evaluation), so their selection rows contribute nothing -- the
+    same invariant the scatter path relies on."""
     split = contact_static_split(spec)
     if split is None:
         return None
-    diag_ranges, gen_ranges = split
+    diag_ranges, mm_ranges, gen_ranges = split
     NV = spec.NV
     unf = jnp.asarray(~spec.frozen, dtype)
-    Dcon = jnp.zeros((NV, 3, 3), dtype)
-    for (cs, cnt, v_lo) in diag_ranges:
-        Dcon = Dcon.at[v_lo : v_lo + cnt].add(H_c[cs : cs + cnt, 3, 3])
-    Dcon = Dcon * unf[:, :, None] * unf[:, None, :]
+    out = {}
+    if diag_ranges:
+        Dcon = jnp.zeros((NV, 3, 3), dtype)
+        for (cs, cnt, v_lo) in diag_ranges:
+            Dcon = Dcon.at[v_lo : v_lo + cnt].add(H_c[cs : cs + cnt, 3, 3])
+        out["Dcon"] = Dcon * unf[:, :, None] * unf[:, None, :]
+    if mm_ranges:
+        Ss, Hs = [], []
+        for (cs, cnt, _v_lo, f_vlo, f_vn) in mm_ranges:
+            loc = idx_c[cs : cs + cnt, :3] - f_vlo  # (cnt, 3) local face ids
+            S = (loc[..., None]
+                 == jnp.arange(f_vn, dtype=loc.dtype)).astype(dtype)
+            Ss.append(S)  # (cnt, 3, f_vn) one-hot
+            Hs.append(H_c[cs : cs + cnt])
+        out["mm_S"] = tuple(Ss)
+        out["mm_H"] = tuple(Hs)
     if gen_ranges:
         idx_gen = jnp.concatenate(
             [idx_c[cs : cs + cnt] for (cs, cnt) in gen_ranges], axis=0)
@@ -1661,32 +1715,56 @@ def build_contact_split(spec, idx_c, H_c, dtype):
     else:
         idx_gen = idx_c[:0]
         H_gen = H_c[:0]
-    return {"Dcon": Dcon, "idx_con": idx_gen, "H_con": H_gen}
+    out["idx_con"] = idx_gen
+    out["H_con"] = H_gen
+    return out
 
 
 def hvp_dia_contact(spec, fused, x):
-    """Dynamic contact part of H @ x, frozen-masked. With a frozen-source
-    split present in `fused` (keys Dcon/idx_con/H_con from
-    build_contact_split), the frozen-source slots apply as a fused
-    diagonal einsum and only the general slots gather/scatter; otherwise
-    the whole merged contact group takes the gather/scatter path."""
+    """Dynamic contact part of H @ x, frozen-masked. With a split present
+    in `fused` (keys idx_con/H_con + optional Dcon/mm_S/mm_H from
+    build_contact_split): frozen-source slots apply as a fused diagonal
+    einsum, 'mm' pairs as static slices + one-hot selection matmuls (zero
+    dynamic indices), and only the leftover general slots gather/scatter;
+    otherwise the whole merged contact group takes the gather/scatter
+    path. Output masking commutes with the scatter (the unfrozen factor
+    depends only on the target vertex), so the mm path masks its target
+    slices instead of gathering unf[idx]."""
     unf = jnp.concatenate(
         [jnp.asarray(~spec.frozen, x.dtype), jnp.zeros((1, 3), x.dtype)]
     )
     xp = jnp.concatenate([x, jnp.zeros((1, 3), x.dtype)], axis=0)
     xm = xp * unf
-    if "Dcon" in fused:
+    yp = jnp.zeros_like(xp)
+    y_diag = jnp.zeros_like(x)
+    if "idx_con" in fused:
         idx = fused["idx_con"]
         Hd = fused["H_con"]
-        y_diag = jnp.einsum("nij,nj->ni", fused["Dcon"], x)
+        if "Dcon" in fused:
+            y_diag = jnp.einsum("nij,nj->ni", fused["Dcon"], x)
+        if "mm_S" in fused:
+            hp = jax.lax.Precision.HIGHEST
+            _d, mm_ranges, _g = contact_static_split(spec)
+            for (_cs, cnt, v_lo, f_vlo, f_vn), S, Hm in zip(
+                    mm_ranges, fused["mm_S"], fused["mm_H"]):
+                xf = jnp.einsum("caf,fj->caj", S,
+                                xm[f_vlo : f_vlo + f_vn], precision=hp)
+                xq = xm[v_lo : v_lo + cnt]
+                xg = jnp.concatenate([xf, xq[:, None, :]], axis=1)
+                contrib = jnp.einsum("eabij,ebj->eai", Hm, xg)
+                yp = yp.at[v_lo : v_lo + cnt].add(
+                    contrib[:, 3] * unf[v_lo : v_lo + cnt])
+                yf = jnp.einsum("caf,cai->fi", S, contrib[:, :3],
+                                precision=hp)
+                yp = yp.at[f_vlo : f_vlo + f_vn].add(
+                    yf * unf[f_vlo : f_vlo + f_vn])
     else:
         ns = static_block_count(spec)
         idx = fused["idx"][ns:]
         Hd = fused["H"][ns:]
-        y_diag = jnp.zeros_like(x)
-    contrib = jnp.einsum("eabij,ebj->eai", Hd, xm[idx])
-    yp = jnp.zeros_like(xp)
-    yp = yp.at[idx].add(contrib * unf[idx])
+    if idx.shape[0] > 0:
+        contrib = jnp.einsum("eabij,ebj->eai", Hd, xm[idx])
+        yp = yp.at[idx].add(contrib * unf[idx])
     return yp[: spec.NV] + y_diag
 
 

@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core.spec import SceneSpec
+from ..ops import spd
 from . import elements, gridsolve
 
 
@@ -82,7 +83,7 @@ def prepare_solver_state(spec: SceneSpec, groups, dtype):
 
 def _ops_from_state(spec: SceneSpec, st):
     groups = {"idx": st["idx"], "H": st["H"]}
-    for k in ("Dcon", "idx_con", "H_con"):
+    for k in ("Dcon", "idx_con", "H_con", "mm_S", "mm_H"):
         if k in st:
             groups[k] = st[k]
     if spec.dia is not None:
@@ -251,7 +252,7 @@ def _solve_cg_prepared_T(spec: SceneSpec, st, F, return_iters=False,
     unf2, m2 = elements.t2_consts(spec, dtype)
     nbr = st.get("nbr")
     groups = {"idx": st["idx"], "H": st["H"]}
-    for k in ("Dcon", "idx_con", "H_con"):
+    for k in ("Dcon", "idx_con", "H_con", "mm_S", "mm_H"):
         if k in st:
             groups[k] = st[k]
     DconT = (elements.blocks_to_t33(spec, st["Dcon"], dtype)
@@ -392,11 +393,9 @@ def solve_minres(spec: SceneSpec, groups, F, return_iters=False, x0=None):
     gprec = {"idx": groups["idx"], "H": _abs_element_blocks(groups["H"])}
     stp = prepare_solver_state(spec, gprec, F.dtype)
     _, A_pc_cheap = _ops_from_state(spec, stp)
-    D = stp["D"]
-    lam, Q = jnp.linalg.eigh(D)
-    mx = jnp.max(jnp.abs(lam), axis=-1, keepdims=True)
-    lam = jnp.maximum(jnp.abs(lam), 1e-6 * mx + 1e-30)
-    Dinv = jnp.einsum("nik,nk,njk->nij", Q, 1.0 / lam, Q)
+    # |D|^-1 via the closed-form polynomial (no batched-eigh custom call
+    # on the per-backward-step path -- spd.abs_inv_3x3)
+    Dinv = spd.abs_inv_3x3(stp["D"])
 
     grid_plan = gridsolve.build_grid_plan(spec)
     smooth = spec.precond_smooth if A_pc_cheap is not None else 0
@@ -500,11 +499,9 @@ def solve_gmres(spec: SceneSpec, groups, F, x0=None, return_iters=False):
     off-band perturbation) -> convergence in tens of iterations."""
     st = prepare_solver_state(spec, groups, F.dtype)
     A, _ = _ops_from_state(spec, st)
-    D = st["D"]
-    lam, Q = jnp.linalg.eigh(D)
-    mx = jnp.max(jnp.abs(lam), axis=-1, keepdims=True)
-    lam = jnp.maximum(jnp.abs(lam), 1e-6 * mx + 1e-30)
-    Dinv = jnp.einsum("nik,nk,njk->nij", Q, 1.0 / lam, Q)
+    # |D|^-1 via the closed-form polynomial (no batched-eigh custom call
+    # on the per-backward-step path -- spd.abs_inv_3x3)
+    Dinv = spd.abs_inv_3x3(st["D"])
     grid_plan = gridsolve.build_grid_plan(spec)
     if grid_plan and spec.dia is not None:
         ns = elements.static_block_count(spec)
