@@ -147,15 +147,22 @@ def main():
         sc = bench_scene.make(cloth_N=cloth_N, dtype=dtype,
                               hess_refresh=refresh, spmv=spmv,
                               fwd_tol=fwd_tol, adj_tol=adj_tol)
+        import dataclasses as _dc
+
         # BENCH_HASH_MIN_FACES: override the spatial-hash crossover (set
         # very high to force the dense sweep at any size -- 40k-crash triage)
         hmf = os.environ.get("BENCH_HASH_MIN_FACES")
         if hmf:
-            import dataclasses as _dc
-
             sc.spec = _dc.replace(
                 sc.spec, contact=_dc.replace(
                     sc.spec.contact, hash_min_faces=int(hmf)))
+        # BENCH_SPD=shift: Gershgorin-shift PSD-ification of the forward
+        # element Hessians instead of the batched-eigh clamp (A/B knob --
+        # the eigh custom call runs 2x/step in the operator rebuilds; the
+        # adjoint always uses the exact unprojected Hessian either way)
+        spd_m = os.environ.get("BENCH_SPD")
+        if spd_m:
+            sc.spec = _dc.replace(sc.spec, spd_method=spd_m)
         spec, params = sc.spec, sc.params
 
         def fwd_bwd(acts):
