@@ -154,10 +154,13 @@ def run_adjoint_on_tape(scene, tape_path, out_path):
         buffers["contact"] = ContactSet(
             **{k[8:]: _cast(z[k]) for k in z.files
                if k.startswith("tapecon_")})
+    # GRAD_ACC_COMP=1: compensated (TwoSum) backward-chain carries
+    comp = os.environ.get("GRAD_ACC_COMP", "0") == "1"
     seed_pos, seed_ar = sc.seed_loss(buffers)
     res = jax.jit(
         lambda b, sp, sa: adjoint.backward(spec, params, b, sp, sa,
-                                           matmul_precision=mm)
+                                           matmul_precision=mm,
+                                           compensated=comp)
     )(buffers, seed_pos, seed_ar)
     gg = res.gripper_grad
     np.savez(out_path, gripper_grad=np.asarray(gg, np.float64),

@@ -242,3 +242,34 @@ def test_f32_backward_chain_finite_per_step():
     # the NaN bug manifested as exactly one nonzero step
     per_step = np.abs(gg).max(axis=(1, 2))
     assert (per_step[1:] > 0).all(), per_step
+
+
+def test_two_sum_survives_jit():
+    """The compensated-carry mode relies on TwoSum's error term NOT being
+    optimized away by XLA (a fast-math-style reassociation would fold
+    (a - (s - bb)) + (b - bb) to zero). Assert the compensation term is
+    exact under jit in f32."""
+    a = jnp.float32(1.0)
+    b = jnp.float32(1e-9)  # vanishes in f32 addition: 1.0 + 1e-9 == 1.0
+    s, e = jax.jit(adjoint._two_sum)(a, b)
+    assert float(s) == 1.0
+    assert float(e) == float(np.float32(1e-9))  # recovered exactly by the EFT
+
+
+def test_compensated_backward_matches_plain(scene):
+    """compensated=True is the identical algorithm in exact arithmetic; at
+    f64 on a short horizon the two paths must agree to tight tolerance
+    (and the compensated path must be finite / nonzero everywhere)."""
+    actions = make_actions(6, scene.n_part, dz=-0.0006)
+    _, buffers = stepper.simulate(
+        scene.spec, scene.params, scene.state0, actions)
+    seed_pos, seed_ar = scene.seed_loss(buffers)
+    res_p = adjoint.backward(
+        scene.spec, scene.params, buffers, seed_pos, seed_ar)
+    res_c = adjoint.backward(
+        scene.spec, scene.params, buffers, seed_pos, seed_ar,
+        compensated=True)
+    gp = np.asarray(res_p.gripper_grad)
+    gc = np.asarray(res_c.gripper_grad)
+    assert np.all(np.isfinite(gc))
+    np.testing.assert_allclose(gc, gp, rtol=1e-12, atol=1e-14)

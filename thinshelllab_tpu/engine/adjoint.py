@@ -40,6 +40,25 @@ class AdjointResult(NamedTuple):
     pos_grad0: jnp.ndarray     # residual dL/dx_0 (diagnostic)
 
 
+def _two_sum(a, b):
+    """Error-free transformation: s + e == a + b exactly (Knuth TwoSum,
+    branch-free, 6 flops). Valid in any IEEE round-to-nearest arithmetic;
+    XLA's TPU/CPU pipelines do not reassociate float adds, so the
+    compensation term survives compilation (asserted by
+    tests/test_adjoint.py::test_two_sum_survives_jit)."""
+    s = a + b
+    bb = s - a
+    e = (a - (s - bb)) + (b - bb)
+    return s, e
+
+
+def _comp_add(hi, lo, x):
+    """Compensated accumulate: (hi, lo) + x with one TwoSum; rounding of the
+    running sum lands in lo instead of being discarded."""
+    s, e = _two_sum(hi, x)
+    return s, lo + e
+
+
 def _rebuild_contact(spec, params, pos_prev, proj_flag, proj_dir):
     vn = collision.vertex_normals(pos_prev, spec.faces, spec.NV)
     proj_flag, proj_dir, tri, w = collision.projection_query(
@@ -203,6 +222,7 @@ def backward(
     chain_dtype=None,
     solve_dtype=None,
     matmul_precision="solves",
+    compensated: bool = False,
 ) -> AdjointResult:
     """Run the backward sweep over a simulated trajectory.
 
@@ -234,6 +254,15 @@ def backward(
     (solver.newton_solve) is where the win is (-20% CG iterations).
     debug_iters: also return per-step adjoint-solve iteration counts in
     place of pos_grad0 (diagnostic).
+    compensated: carry the dL/dx and dL/dref chain accumulators as
+    (value, error) two-float pairs with error-free TwoSum accumulation — an
+    ALGORITHMIC precision promotion for the backward chain carries on
+    hardware where f64 is unavailable (the TPU silently demotes f64;
+    BASELINE.md round-4). The dL/dref carry is a true running sum over all
+    T steps (the plastic a2ax pass-through), which is where compensation
+    can pay; the dL/dx carries are ≤2-step chains compensated for free.
+    Identical in exact arithmetic; default OFF pending the measured A/B
+    (scripts/grad_accuracy.py GRAD_ACC_COMP=1).
     chain_dtype / solve_dtype: precision-substitution knobs (default: the
     spec dtype for both). chain_dtype promotes the backward CHAIN arithmetic
     -- the dL/dx and dL/dref carries, the plastic a2ax/x2a hinge chains, the
@@ -262,23 +291,24 @@ def backward(
             spec, params, buffers, seed_pos_grad, seed_ar_grad,
             damping_grad, vertical_only, with_param_grad, skip_steps,
             friction_loss, f_loss_ratio, warm_start, debug_iters, cd, sd,
-            solve_prec="highest")
+            compensated, solve_prec="highest")
     if matmul_precision is not None:
         with jax.default_matmul_precision(matmul_precision):
             return _backward_body(
                 spec, params, buffers, seed_pos_grad, seed_ar_grad,
                 damping_grad, vertical_only, with_param_grad, skip_steps,
-                friction_loss, f_loss_ratio, warm_start, debug_iters, cd, sd)
+                friction_loss, f_loss_ratio, warm_start, debug_iters, cd, sd,
+                compensated)
     return _backward_body(
         spec, params, buffers, seed_pos_grad, seed_ar_grad, damping_grad,
         vertical_only, with_param_grad, skip_steps, friction_loss,
-        f_loss_ratio, warm_start, debug_iters, cd, sd)
+        f_loss_ratio, warm_start, debug_iters, cd, sd, compensated)
 
 
 def _backward_body(spec, params, buffers, seed_pos_grad, seed_ar_grad,
                    damping_grad, vertical_only, with_param_grad, skip_steps,
                    friction_loss, f_loss_ratio, warm_start, debug_iters,
-                   cd, sd, solve_prec=None):
+                   cd, sd, comp=False, solve_prec=None):
     import contextlib
 
     def prec_ctx():
@@ -306,7 +336,11 @@ def _backward_body(spec, params, buffers, seed_pos_grad, seed_ar_grad,
             if jnp.issubdtype(x.dtype, jnp.floating) else x, tree)
 
     def step_fn(carry, t):
-        g1, g2, ar1, proj_flag, proj_dir, pgrad, z_prev = carry
+        if comp:
+            (g1, g2, ar1, proj_flag, proj_dir, pgrad, z_prev,
+             g1e, ar1e) = carry
+        else:
+            g1, g2, ar1, proj_flag, proj_dir, pgrad, z_prev = carry
         pos_t = buffers["pos"][t]
         pos_tm1 = buffers["pos"][t - 1]
         # Reference parity: copy_pos_and_refangle(self, step) loads
@@ -317,8 +351,25 @@ def _backward_body(spec, params, buffers, seed_pos_grad, seed_ar_grad,
         # step t) ref angle.
         ref_t = buffers["ref_angle"][t - 1]
 
-        pg_t = jnp.clip(seed_pos_grad[t].astype(cd) + g1, -1000.0, 1000.0)
-        ar_t = jnp.clip(seed_ar_grad[t].astype(cd) + ar1, -1000.0, 1000.0)
+        if comp:
+            # collapse the (value, error) dL/dx carry into the solve seed
+            # with ONE rounding (vs the 3-4 cascaded roundings of the plain
+            # path); the dL/dref carry keeps its split alive across the clip
+            # (void where the clamp pins the value, which is exact anyway)
+            s, e = _two_sum(seed_pos_grad[t].astype(cd), g1)
+            pg_t = jnp.clip(s + (e + g1e), -1000.0, 1000.0)
+            ar_hi, ea = _two_sum(seed_ar_grad[t].astype(cd), ar1)
+            ar_lo = ea + ar1e
+            ar_tot = ar_hi + ar_lo
+            clipped = jnp.abs(ar_tot) >= 1000.0
+            ar_t = jnp.clip(ar_tot, -1000.0, 1000.0)
+            ar_hi = jnp.where(clipped, ar_t, ar_hi)
+            ar_lo = jnp.where(clipped, 0.0, ar_lo)
+        else:
+            pg_t = jnp.clip(seed_pos_grad[t].astype(cd) + g1,
+                            -1000.0, 1000.0)
+            ar_t = jnp.clip(seed_ar_grad[t].astype(cd) + ar1,
+                            -1000.0, 1000.0)
 
         if "contact" in buffers:
             # taped forward contact set (stepper.simulate save_contacts=True,
@@ -358,7 +409,13 @@ def _backward_body(spec, params, buffers, seed_pos_grad, seed_ar_grad,
         factor = jnp.where(yielded, 1.0, 0.1) * c.hinge_mask
         contrib = (ar_t * factor)[:, None, None] * dth
         pg_t = pg_t.at[c.hinge_verts].add(contrib)
-        ar_next = ar_t * c.hinge_mask  # dL/dref_{t-1} pass-through
+        if comp:
+            # mask products are exact (0/1), so the split survives the
+            # pass-through; the per-step x2a contribution lands via TwoSum
+            ar_next = ar_hi * c.hinge_mask
+            ar_next_lo = ar_lo * c.hinge_mask
+        else:
+            ar_next = ar_t * c.hinge_mask  # dL/dref_{t-1} pass-through
 
         # true Hessian at pos_t, solve H z = pg_t
         groups = elements.all_groups(
@@ -383,7 +440,12 @@ def _backward_body(spec, params, buffers, seed_pos_grad, seed_ar_grad,
 
             # bending ref chain x2a: dL/dref_{t-1} += -d_ref*(z . dtheta/dx)
             z_dth = jnp.einsum("hai,hai->h", z_c[c.hinge_verts], dth)
-            ar_next = ar_next + (-d_ref_coef) * z_dth * c.hinge_mask
+            if comp:
+                ar_next, ar_next_lo = _comp_add(
+                    ar_next, ar_next_lo,
+                    (-d_ref_coef) * z_dth * c.hinge_mask)
+            else:
+                ar_next = ar_next + (-d_ref_coef) * z_dth * c.hinge_mask
 
             gg = _gather_gripper_grad(
                 spec, buffers["gripper_rot"][t], buffers["pad_local"][t],
@@ -399,12 +461,19 @@ def _backward_body(spec, params, buffers, seed_pos_grad, seed_ar_grad,
             )
             pgrad = jax.tree.map(jnp.add, pgrad, pg_contrib)
 
-        g1_out = g2 + (1.0 + damping_grad) * x_hat_grad + bp
         g2_out = -damping_grad * x_hat_grad
+        if comp:
+            h, e1 = _two_sum(g2, (1.0 + damping_grad) * x_hat_grad)
+            g1_out, e2 = _two_sum(h, bp)
+            g1e_out = e1 + e2  # g2 is a fresh single product (no carry err)
+        else:
+            g1_out = g2 + (1.0 + damping_grad) * x_hat_grad + bp
         active = t > skip_steps
         gg = jnp.where(active, gg, 0.0).astype(d)
-        return (g1_out, g2_out, ar_next, proj_flag, proj_dir, pgrad,
-                z), (gg, it)
+        out_carry = (g1_out, g2_out, ar_next, proj_flag, proj_dir, pgrad, z)
+        if comp:
+            out_carry = out_carry + (g1e_out, ar_next_lo)
+        return out_carry, (gg, it)
 
     init = (
         jnp.zeros((NV, 3), cd),
@@ -415,9 +484,14 @@ def _backward_body(spec, params, buffers, seed_pos_grad, seed_ar_grad,
         zero_params,
         jnp.zeros((NV, 3), sd),
     )
+    if comp:
+        init = init + (jnp.zeros((NV, 3), cd),
+                       jnp.zeros(seed_ar_grad[0].shape, cd))
     ts = jnp.arange(T - 1, 0, -1)
-    (g1, g2, ar1, _, _, pgrad, _z), (ggs, iters) = jax.lax.scan(
-        step_fn, init, ts)
+    fin, (ggs, iters) = jax.lax.scan(step_fn, init, ts)
+    g1, pgrad = fin[0], fin[5]
+    if comp:
+        g1 = g1 + fin[7]  # residual dL/dx_0 diagnostic: collapse the split
 
     gripper_grad = jnp.zeros((T, n_part, 6), d)
     if spec.gripper.n_part > 0:
