@@ -114,6 +114,10 @@ def main():
     # trajectory tape and skip the adjoint's per-backward-step broadphase +
     # contact-analysis replay (stepper.simulate save_contacts)
     tape_contacts = os.environ.get("BENCH_TAPE_CONTACTS", "0") == "1"
+    # BENCH_COMP=1: compensated (TwoSum) backward-chain carries -- measured
+    # 2.3x adjoint accuracy on the plastic scene (BASELINE.md round 5);
+    # cost A/B knob for the latency-bound sweep
+    comp_carries = os.environ.get("BENCH_COMP", "0") == "1"
 
     n_tri = 2 * cloth_N * cloth_N
     # BENCH_BATCH=B > 1: vmap B independent fwd+bwd rollouts into ONE XLA
@@ -170,7 +174,8 @@ def main():
                                               save_contacts=tape_contacts)
             seed_pos, seed_ar = sc.seed_loss(buffers)
             res = adjoint.backward(spec, params, buffers, seed_pos, seed_ar,
-                                   matmul_precision=adj_prec)
+                                   matmul_precision=adj_prec,
+                                   compensated=comp_carries)
             return res.gripper_grad, buffers["pos"][-1]
 
         run = jax.jit(jax.vmap(fwd_bwd) if B > 1 else fwd_bwd)

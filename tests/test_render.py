@@ -115,6 +115,13 @@ def test_crease_mix_texture():
     s = t.emit()
     assert "mix {" in s and '"multiply"' in s and "x.png" in s
 
+    # uvmapping node (reference build_luisa_script.py:148-152)
+    u = Texture(uv_remap=Texture(file="remap.png"),
+                uv_texture=Texture(constant=(0.2, 0.3, 0.4)))
+    s = u.emit()
+    assert "uvmapping {" in s and "uv_map {" in s and "texture {" in s
+    assert "remap.png" in s
+
 
 def test_debug_plots(scene, tmp_path):
     """The three reference diagnostics (BaseScene.debug_plot /

@@ -23,7 +23,8 @@ def _v(x) -> str:
 @dataclasses.dataclass
 class Texture:
     """Texture node covering the reference grammar's constant / image /
-    checkerboard / mix variants (build_luisa_script.LuisaTexture:113-155)."""
+    checkerboard / mix / uvmapping variants
+    (build_luisa_script.LuisaTexture:80-155)."""
 
     constant: Optional[Tuple[float, ...]] = None
     file: Optional[str] = None
@@ -35,6 +36,10 @@ class Texture:
     mix_bottom: Optional["Texture"] = None
     mix_factor: float = 1.0
     mix_method: str = "multiply"  # add | substract | multiply | mix
+    # uvmapping node (build_luisa_script.py:148-152): remap the UVs fed to
+    # a wrapped texture through another texture (e.g. crease-painted cloth)
+    uv_remap: Optional["Texture"] = None
+    uv_texture: Optional["Texture"] = None
 
     def emit(self, indent=1) -> str:
         t = "\t" * indent
@@ -57,6 +62,13 @@ class Texture:
                 f"{t}\tbottom {{ {self.mix_bottom.emit(indent + 1)} }}\n"
                 f"{t}\tfactor {{ {float(self.mix_factor)} }}\n"
                 f'{t}\tmethod {{ "{self.mix_method}" }}\n{t}}}'
+            )
+        if self.uv_remap is not None and self.uv_texture is not None:
+            return (
+                f"uvmapping {{\n"
+                f"{t}\tuv_map {{ {self.uv_remap.emit(indent + 1)} }}\n"
+                f"{t}\ttexture {{ {self.uv_texture.emit(indent + 1)} }}\n"
+                f"{t}}}"
             )
         return "constant { v { 0.5, 0.5, 0.5 } }"
 
