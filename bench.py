@@ -147,10 +147,19 @@ def main():
             jnp.zeros((B, T, 1), dtype),
         )
 
+    # BENCH_NEWTON: Newton micro-iteration cap (default 8 = the reference's
+    # bench budget). The |p| termination test is floored at the f32
+    # resolution and in practice never fires before the cap at bench size,
+    # so the cap IS the iteration count -- if the per-iteration |p| history
+    # (scripts/probe_newton_tpu.py) shows a floor-stall before 8, capping
+    # earlier is the same class of win as the round-4 fwd_tol discovery.
+    newton_cap = int(os.environ.get("BENCH_NEWTON", "8"))
+
     def build_and_compile(spmv):
         sc = bench_scene.make(cloth_N=cloth_N, dtype=dtype,
                               hess_refresh=refresh, spmv=spmv,
-                              fwd_tol=fwd_tol, adj_tol=adj_tol)
+                              fwd_tol=fwd_tol, adj_tol=adj_tol,
+                              max_newton_iter=newton_cap)
         import dataclasses as _dc
 
         # BENCH_HASH_MIN_FACES: override the spatial-hash crossover (set
