@@ -45,11 +45,22 @@ def main():
             jax.device_get(s.pos)
     else:
         T = 2
+        # TRACE_BATCH=B > 1: trace the vmapped B-rollout program instead
+        # (the round-5 batched-rollout collapse: batch=4 measured 6.4x
+        # below batch-linear with hbm_util DOWN -- this trace is how the
+        # pathological op gets named)
+        B = int(os.environ.get("TRACE_BATCH", "1"))
         dpos = np.zeros((T, 1, 3))
         dpos[:, 0, 2] = -4e-4
         actions = (jnp.asarray(dpos, jnp.float32),
                    jnp.zeros((T, 1, 3), jnp.float32),
                    jnp.zeros((T, 1), jnp.float32))
+        if B > 1:
+            rng = np.random.default_rng(0)
+            actions = jax.tree.map(
+                lambda a: jnp.broadcast_to(a, (B,) + a.shape)
+                + 2e-5 * rng.normal(size=(B,) + a.shape).astype(np.float32),
+                actions)
 
         def fwd_bwd(acts):
             final, buffers = stepper.simulate(spec, params, sc.state0, acts)
@@ -57,7 +68,7 @@ def main():
             res = adjoint.backward(spec, params, buffers, seed_pos, seed_ar)
             return res.gripper_grad
 
-        run = jax.jit(fwd_bwd)
+        run = jax.jit(jax.vmap(fwd_bwd) if B > 1 else fwd_bwd)
         jax.device_get(run(actions))
 
         def once():
