@@ -10,6 +10,12 @@ run() {
   shift
   timeout 2400 env "$@" 2>&1 | grep -E '^\{|^#|iter |\|p\||phase|rc=' | tail -30
 }
+# 0. batched device trace: name the op(s) that serialize the batch
+#    (batch4/batch8 walls scale exactly linearly in B -- zero amortization)
+echo "CONFIG=trace_batch4 ($(date +%H:%M:%S))"
+timeout 2400 env TRACE_BATCH=4 python scripts/trace_step.py 70 fwdbwd \
+  > /tmp/trace_b4.log 2>&1
+tail -60 /tmp/trace_b4.log
 # 1. per-iteration |p| history + phase wall times at bench size
 run newton_probe python scripts/probe_newton_tpu.py 70 3
 # 2. taped-contact backward (skips the per-backward-step broadphase)
