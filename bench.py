@@ -88,8 +88,11 @@ def main():
     # modified-Newton operator staleness (same fixed point; see
     # tests/test_assembly.py::test_hess_refresh_same_fixed_point)
     # measured A/B (round 4): refresh=4 beats 2 by ~3% at bench size (the
-    # staler operator costs some CG iterations but halves the rebuilds)
-    refresh = int(os.environ.get("BENCH_HESS_REFRESH", "4"))
+    # staler operator costs some CG iterations but halves the rebuilds);
+    # round 5: refresh=8 (ONE rebuild per step) beats 4 by +25% (6.60 vs
+    # 5.26 steps/s) -- the residual stays fresh, so the fixed point is
+    # unchanged and the |p| termination still guards convergence
+    refresh = int(os.environ.get("BENCH_HESS_REFRESH", "8"))
     # forward-Newton CG tolerance (spec.fwd_tol; measured A/B round 4:
     # 1e-3 vs 1e-6 is +74% steps/s -- the line search + |p| termination
     # absorb the inexact directions). The ADJOINT solves keep cg_tol=1e-6
