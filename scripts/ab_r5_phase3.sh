@@ -16,6 +16,12 @@ run() {
 run small_b1 BENCH_CLOTH_N=24 BENCH_STEPS=8 python bench.py
 run small_b8 BENCH_CLOTH_N=24 BENCH_STEPS=8 BENCH_BATCH=8 python bench.py
 run small_b32 BENCH_CLOTH_N=24 BENCH_STEPS=8 BENCH_BATCH=32 python bench.py
+# 1b. the batched trace names the vmapped Pallas kernels as the batch
+#     serializer (per-element slice-start/copy plumbing + sequential grid):
+#     the XLA DIA formulation vmaps into batched einsums instead
+run batch8_xla BENCH_BATCH=8 BENCH_SPMV=xla python bench.py
+run small_b8_xla BENCH_CLOTH_N=24 BENCH_STEPS=8 BENCH_BATCH=8 \
+  BENCH_SPMV=xla python bench.py
 # 2. trajopt iters/hour at the reference budget shape (50 steps/iter)
 echo "CONFIG=trajopt_hour ($(date +%H:%M:%S))"
 bash scripts/tpu_trajopt_hour.sh 30 2>&1 | tail -3
