@@ -246,6 +246,12 @@ def main():
     # resilience: a Mosaic/Pallas compile failure on the custom-kernel path
     # must degrade to the XLA formulation, not kill the benchmark
     spmv_mode = os.environ.get("BENCH_SPMV", "auto")
+    if spmv_mode == "auto" and B > 1:
+        # vmap lowers pallas_call as a sequential per-batch-element grid
+        # loop (batched trace, BASELINE.md round 5); the XLA DIA
+        # formulation vmaps into batched einsums instead. Measured on-chip:
+        # B=8 full-size 4.39 env.steps/s (xla) vs 3.39 (pallas).
+        spmv_mode = "xla"
     if (spmv_mode == "auto" and jax.default_backend() == "tpu"
             and not pallas_parity_ok()):
         print("# WARNING: falling back to spmv='xla'", file=sys.stderr)
