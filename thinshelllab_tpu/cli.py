@@ -90,7 +90,8 @@ def cmd_trajopt(args):
     save_dir = args.save_dir or f"imgs/traj_opt_{args.env}"
     drv = TrajOptDriver(scene, args.tot_step, lr=args.lr,
                         max_dist=args.max_dist, save_dir=save_dir,
-                        reward_name=args.reward_name or "default")
+                        reward_name=args.reward_name or "default",
+                        fwd_chunk=args.fwd_chunk or None)
     if args.load_traj:
         drv.agent.load(args.load_traj)
     if args.init_traj:
@@ -352,6 +353,9 @@ def main(argv=None):
                         "Scene_balancing.load_all / data/balance_state)")
     p.add_argument("--render_every", type=int, default=0)
     p.add_argument("--render_option", type=str, default="Preview")
+    p.add_argument("--fwd_chunk", type=int, default=0,
+                   help="rollout chunk size (0 = one jitted program); "
+                        "workaround for the on-chip long-scan worker crash")
     p.set_defaults(fn=cmd_trajopt)
 
     p = sub.add_parser("cmaes")

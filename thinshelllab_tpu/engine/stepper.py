@@ -146,6 +146,38 @@ def simulate(spec: SceneSpec, params: Params, state0: SimState, actions,
     trajectory tape layout (analytic_grad pos_buffer)."""
     final, saved = rollout(spec, params, state0, actions,
                            save_contacts=save_contacts)
+    return final, _assemble_buffers(state0, final, saved, save_contacts)
+
+
+def simulate_chunked(spec: SceneSpec, params: Params, state0: SimState,
+                     actions, chunk: int, save_contacts: bool = False):
+    """simulate() in host-stitched chunks of `chunk` steps: each chunk is
+    one jitted rollout call and the tape segments are concatenated on the
+    accelerator between calls. Bit-identical to simulate() (the scan carry
+    crosses chunk boundaries unchanged; tests/test_stepper_chunked.py).
+
+    Exists as a crash workaround: this image's TPU worker reproducibly
+    dies ("kernel fault") on certain LONG single-program scans (the
+    folding forward at T=50, the 40k-tri backward -- PARITY.md known
+    gaps), while the same math in shorter programs runs fine."""
+    T = actions[0].shape[0]
+    if chunk < 1:
+        raise ValueError(f"chunk={chunk} must be >= 1")
+    # a ragged tail chunk costs one extra compile (different scan length)
+    roll_c = jax.jit(
+        lambda st, a: rollout(spec, params, st, a,
+                              save_contacts=save_contacts))
+    st = state0
+    outs = []
+    for i in range(0, T, chunk):
+        st, saved = roll_c(st, tuple(a[i : i + chunk] for a in actions))
+        outs.append(saved)
+    saved = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *outs)
+    return st, _assemble_buffers(state0, st, saved, save_contacts)
+
+
+def _assemble_buffers(state0: SimState, final: SimState, saved,
+                      save_contacts: bool):
     pos, ref, gpos, grot, gdist, glocal, ygate = saved[:7]
 
     def prepend(x0, xs):
@@ -168,4 +200,4 @@ def simulate(spec: SceneSpec, params: Params, state0: SimState, actions,
         # contact[t] is the set step t+1's solve used (no step-0 slot);
         # the backward at step t reads index t-1
         buffers["contact"] = saved[7]
-    return final, buffers
+    return buffers

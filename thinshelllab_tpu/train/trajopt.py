@@ -38,6 +38,7 @@ class TrajOptDriver:
         accumulate_grad: bool = False,
         save_dir: Optional[str] = None,
         reward_name: str = "default",
+        fwd_chunk: Optional[int] = None,
     ):
         self.scene = scene
         self.reward_name = reward_name
@@ -62,6 +63,13 @@ class TrajOptDriver:
         def _forward(actions):
             return stepper.simulate(spec, params, scene.state0, actions)
 
+        if fwd_chunk:
+            # host-stitched rollout chunks (bit-identical; works around the
+            # on-chip long-scan worker crash, stepper.simulate_chunked)
+            def _forward(actions):  # noqa: F811
+                return stepper.simulate_chunked(spec, params, scene.state0,
+                                                actions, fwd_chunk)
+
         def _backward(buffers, seed_pos, seed_ar):
             return adjoint.backward(
                 spec, params, buffers, seed_pos, seed_ar,
@@ -70,7 +78,8 @@ class TrajOptDriver:
                 skip_steps=skip_steps,
             )
 
-        self._forward = jax.jit(_forward)
+        # simulate_chunked drives its own per-chunk jits from a host loop
+        self._forward = _forward if fwd_chunk else jax.jit(_forward)
         self._backward = jax.jit(_backward)
 
     def iteration(self, render_cb=None):
