@@ -121,6 +121,14 @@ def main():
     # 2.3x adjoint accuracy on the plastic scene (BASELINE.md round 5);
     # cost A/B knob for the latency-bound sweep
     comp_carries = os.environ.get("BENCH_COMP", "0") == "1"
+    # BENCH_FWD_CHUNK / BENCH_BWD_CHUNK: host-stitched scan segments
+    # (stepper.simulate_chunked / adjoint.backward_chunked, both bit-exact
+    # vs the single-program forms) -- the workaround for this image's TPU
+    # worker kernel-faulting on certain long/large single-program scans
+    # (the 40k-tri backward, the folding T=50 forward). Incompatible with
+    # BENCH_BATCH (the chunked drivers run their own per-segment jits).
+    fwd_chunk = int(os.environ.get("BENCH_FWD_CHUNK", "0"))
+    bwd_chunk = int(os.environ.get("BENCH_BWD_CHUNK", "0"))
 
     n_tri = 2 * cloth_N * cloth_N
     # BENCH_BATCH=B > 1: vmap B independent fwd+bwd rollouts into ONE XLA
@@ -189,6 +197,37 @@ def main():
                                    matmul_precision=adj_prec,
                                    compensated=comp_carries)
             return res.gripper_grad, buffers["pos"][-1]
+
+        if (fwd_chunk or bwd_chunk) and B == 1:
+            # host-stitched multi-program mode: no single AOT-compilable
+            # program exists; first_run_s absorbs the per-segment compiles
+            # and cost_analysis degrades to zeros
+            if fwd_chunk:
+                fwd = lambda acts: stepper.simulate_chunked(  # noqa: E731
+                    spec, params, sc.state0, acts, fwd_chunk,
+                    save_contacts=tape_contacts)
+            else:
+                fwd = jax.jit(lambda acts: stepper.simulate(
+                    spec, params, sc.state0, acts,
+                    save_contacts=tape_contacts))
+            if bwd_chunk:
+                def bwd(buffers, seed_pos, seed_ar):
+                    return adjoint.backward_chunked(
+                        spec, params, buffers, seed_pos, seed_ar, bwd_chunk,
+                        matmul_precision=adj_prec, compensated=comp_carries)
+            else:
+                bwd = jax.jit(lambda b, sp, sa: adjoint.backward(
+                    spec, params, b, sp, sa, matmul_precision=adj_prec,
+                    compensated=comp_carries))
+            seed_fn = jax.jit(sc.seed_loss)
+
+            def run_chunked(acts):
+                final, buffers = fwd(acts)
+                seed_pos, seed_ar = seed_fn(buffers)
+                res = bwd(buffers, seed_pos, seed_ar)
+                return res.gripper_grad, buffers["pos"][-1]
+
+            return sc, spec, run_chunked, None, 0.0
 
         run = jax.jit(jax.vmap(fwd_bwd) if B > 1 else fwd_bwd)
         t0 = time.time()

@@ -13,8 +13,11 @@ cd "$(dirname "$0")/.."
 ITERS=${1:-30}
 OUT=${TRAJOPT_HOUR_OUT:-/tmp/trajopt_hour.log}
 start=$(date +%s)
+# FWD_CHUNK (default 7: tot_step 50 -> T=49 = 7x7, one chunk compile)
+# works around the on-chip long-scan worker crash via stepper.simulate_chunked
 timeout "${TRAJOPT_HOUR_TIMEOUT:-5400}" python -m thinshelllab_tpu.cli \
   trajopt --env folding --iter "$ITERS" --tot_step 50 --lr 3e-5 \
+  --fwd_chunk "${FWD_CHUNK:-7}" \
   > "$OUT" 2>&1
 rc=$?
 end=$(date +%s)

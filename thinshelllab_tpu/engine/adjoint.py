@@ -286,29 +286,115 @@ def backward(
             raise ValueError(
                 f"{_name}={_dt} requires jax_enable_x64 (float64 silently "
                 f"demotes to float32 otherwise)")
+    return _dispatch_body(
+        matmul_precision, spec, params, buffers, seed_pos_grad, seed_ar_grad,
+        damping_grad, vertical_only, with_param_grad, skip_steps,
+        friction_loss, f_loss_ratio, warm_start, debug_iters, cd, sd,
+        compensated)
+
+
+def backward_chunked(
+    spec: SceneSpec,
+    params: Params,
+    buffers,
+    seed_pos_grad,
+    seed_ar_grad,
+    chunk: int,
+    damping_grad: float = 1.0,
+    vertical_only: bool = False,
+    with_param_grad: bool = False,
+    skip_steps: int = 0,
+    friction_loss: bool = False,
+    f_loss_ratio: float = 0.001,
+    warm_start: bool = False,
+    debug_iters: bool = False,
+    chain_dtype=None,
+    solve_dtype=None,
+    matmul_precision="solves",
+    compensated: bool = False,
+) -> AdjointResult:
+    """backward() in host-stitched segments of `chunk` steps: the backward
+    scan runs as several short jitted programs with the adjoint carry
+    crossing segment boundaries unchanged, so the result is bit-identical
+    to backward() (tests/test_adjoint_chunked.py).
+
+    The counterpart of stepper.simulate_chunked for the BACKWARD sweep:
+    this image's TPU worker kernel-faults on certain long/large
+    single-program scans, and the 40k-tri bench crash is backward-only
+    (BASELINE.md round-5 triage). A ragged tail segment costs one extra
+    compile (different scan length)."""
+    if chunk < 1:
+        raise ValueError(f"chunk={chunk} must be >= 1")
+    T = seed_pos_grad.shape[0]
+    NV = spec.NV
+    d = spec.dtype
+    cd = chain_dtype if chain_dtype is not None else d
+    sd = solve_dtype if solve_dtype is not None else d
+    for _name, _dt in (("chain_dtype", cd), ("solve_dtype", sd)):
+        if (jnp.dtype(_dt).itemsize > jnp.dtype(d).itemsize
+                and jnp.dtype(_dt) == jnp.dtype(jnp.float64)
+                and not jax.config.jax_enable_x64):
+            raise ValueError(
+                f"{_name}={_dt} requires jax_enable_x64 (float64 silently "
+                f"demotes to float32 otherwise)")
+
+    seg_fn = jax.jit(lambda carry, ts_seg: _dispatch_body(
+        matmul_precision, spec, params, buffers, seed_pos_grad,
+        seed_ar_grad, damping_grad, vertical_only, with_param_grad,
+        skip_steps, friction_loss, f_loss_ratio, warm_start, debug_iters,
+        cd, sd, compensated, ts=ts_seg, carry_in=carry, raw=True))
+
+    carry = (
+        jnp.zeros((NV, 3), cd),
+        jnp.zeros((NV, 3), cd),
+        jnp.zeros(seed_ar_grad[0].shape, cd),
+        jnp.asarray(buffers["final_proj_flag"]),
+        jnp.asarray(buffers["final_proj_dir"]),
+        jax.tree.map(jnp.zeros_like, params),
+        jnp.zeros((NV, 3), sd),
+    )
+    if compensated:
+        carry = carry + (jnp.zeros((NV, 3), cd),
+                         jnp.zeros(seed_ar_grad[0].shape, cd))
+
+    ts_full = jnp.arange(T - 1, 0, -1)
+    gg_parts, it_parts = [], []
+    for i in range(0, T - 1, chunk):
+        carry, ggs, iters = seg_fn(carry, ts_full[i : i + chunk])
+        gg_parts.append(ggs)
+        it_parts.append(iters)
+    g1, pgrad = carry[0], carry[5]
+    if compensated:
+        g1 = g1 + carry[7]
+
+    n_part = max(spec.gripper.n_part, 1)
+    gripper_grad = jnp.zeros((T, n_part, 6), d)
+    if spec.gripper.n_part > 0 and gg_parts:
+        gripper_grad = gripper_grad.at[ts_full].set(
+            jnp.concatenate(gg_parts, axis=0))
+    iters_all = (jnp.concatenate(it_parts, axis=0) if it_parts
+                 else jnp.zeros((0,), jnp.int32))
+    return AdjointResult(gripper_grad=gripper_grad, param_grad=pgrad,
+                         pos_grad0=iters_all if debug_iters else g1)
+
+
+def _dispatch_body(matmul_precision, *args, **kwargs):
+    """Apply backward()'s matmul-precision policy around _backward_body:
+    'solves' scopes true-f32 to the solve/chain regions; a jax precision
+    string applies globally; None inherits ambient."""
     if matmul_precision == "solves":
-        return _backward_body(
-            spec, params, buffers, seed_pos_grad, seed_ar_grad,
-            damping_grad, vertical_only, with_param_grad, skip_steps,
-            friction_loss, f_loss_ratio, warm_start, debug_iters, cd, sd,
-            compensated, solve_prec="highest")
+        return _backward_body(*args, **kwargs, solve_prec="highest")
     if matmul_precision is not None:
         with jax.default_matmul_precision(matmul_precision):
-            return _backward_body(
-                spec, params, buffers, seed_pos_grad, seed_ar_grad,
-                damping_grad, vertical_only, with_param_grad, skip_steps,
-                friction_loss, f_loss_ratio, warm_start, debug_iters, cd, sd,
-                compensated)
-    return _backward_body(
-        spec, params, buffers, seed_pos_grad, seed_ar_grad, damping_grad,
-        vertical_only, with_param_grad, skip_steps, friction_loss,
-        f_loss_ratio, warm_start, debug_iters, cd, sd, compensated)
+            return _backward_body(*args, **kwargs)
+    return _backward_body(*args, **kwargs)
 
 
 def _backward_body(spec, params, buffers, seed_pos_grad, seed_ar_grad,
                    damping_grad, vertical_only, with_param_grad, skip_steps,
                    friction_loss, f_loss_ratio, warm_start, debug_iters,
-                   cd, sd, comp=False, solve_prec=None):
+                   cd, sd, comp=False, solve_prec=None, ts=None,
+                   carry_in=None, raw=False):
     import contextlib
 
     def prec_ctx():
@@ -475,20 +561,26 @@ def _backward_body(spec, params, buffers, seed_pos_grad, seed_ar_grad,
             out_carry = out_carry + (g1e_out, ar_next_lo)
         return out_carry, (gg, it)
 
-    init = (
-        jnp.zeros((NV, 3), cd),
-        jnp.zeros((NV, 3), cd),
-        jnp.zeros(seed_ar_grad[0].shape, cd),
-        buffers["final_proj_flag"],
-        buffers["final_proj_dir"],
-        zero_params,
-        jnp.zeros((NV, 3), sd),
-    )
-    if comp:
-        init = init + (jnp.zeros((NV, 3), cd),
-                       jnp.zeros(seed_ar_grad[0].shape, cd))
-    ts = jnp.arange(T - 1, 0, -1)
+    if carry_in is None:
+        init = (
+            jnp.zeros((NV, 3), cd),
+            jnp.zeros((NV, 3), cd),
+            jnp.zeros(seed_ar_grad[0].shape, cd),
+            buffers["final_proj_flag"],
+            buffers["final_proj_dir"],
+            zero_params,
+            jnp.zeros((NV, 3), sd),
+        )
+        if comp:
+            init = init + (jnp.zeros((NV, 3), cd),
+                           jnp.zeros(seed_ar_grad[0].shape, cd))
+    else:
+        init = carry_in
+    if ts is None:
+        ts = jnp.arange(T - 1, 0, -1)
     fin, (ggs, iters) = jax.lax.scan(step_fn, init, ts)
+    if raw:
+        return fin, ggs, iters
     g1, pgrad = fin[0], fin[5]
     if comp:
         g1 = g1 + fin[7]  # residual dL/dx_0 diagnostic: collapse the split
